@@ -1,0 +1,147 @@
+"""Raw PAUT volume parsers: txt trees and JSON volumes -> numpy arrays.
+
+Reference behaviour being matched (not ported):
+- txt tree parse + per-scan image assembly: `BscanBased/DS_preprocessing.py:53-141`
+- JSON volume parse: `D-Fine/ds_manipulations/ds_prep.py:30-110`,
+  `signals/improved_multisignal/json_dataset.py:28-160`
+
+Both parsers produce a :class:`ParsedVolume`:
+- ``signals``: dict ``beam_key -> (n_scans, n_samples) float32`` (scan-sorted)
+- ``scan_infos``: dict ``beam_key -> [ScanInfo...]`` aligned with rows
+- plus beam ordering/angle metadata for B-scan rendering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from pautdx.data import grammar
+from pautdx.data.grammar import ScanInfo
+
+
+@dataclasses.dataclass
+class ParsedVolume:
+    """A PAUT volume with per-beam signals and per-scan labels."""
+
+    beam_keys: List[str]                       # sorted by angle / order found
+    beam_angles: List[float]
+    signals: Dict[str, np.ndarray]             # beam_key -> (n_scans, n_samples)
+    scan_infos: Dict[str, List[ScanInfo]]      # beam_key -> per-scan metadata
+
+    @property
+    def n_beams(self) -> int:
+        return len(self.beam_keys)
+
+    def beam_array(self) -> np.ndarray:
+        """Stack beams -> (beams, scans, samples); requires rectangular volume."""
+        return np.stack([self.signals[k] for k in self.beam_keys])
+
+    def scan_image(self, scan_idx: int) -> np.ndarray:
+        """B-scan image for one scan position: (beams, samples)."""
+        return np.stack([self.signals[k][scan_idx] for k in self.beam_keys])
+
+
+def parse_json_volume(path_or_dict) -> ParsedVolume:
+    """Parse the reference JSON-volume schema ``{beam: {scan_key: signal}}``.
+
+    Scan values may be raw lists or ``{"signal": [...]}`` dicts
+    (`json_dataset.py:111-116`). Scan keys are sorted by integer index.
+    """
+    if isinstance(path_or_dict, (str, os.PathLike)):
+        with open(path_or_dict) as f:
+            data = json.load(f)
+    else:
+        data = path_or_dict
+
+    beam_keys = list(data.keys())
+    try:
+        beam_keys = grammar.sort_beams(beam_keys)
+        angles = [grammar.beam_angle(k) for k in beam_keys]
+    except (IndexError, ValueError):
+        angles = list(range(len(beam_keys)))
+
+    signals: Dict[str, np.ndarray] = {}
+    infos: Dict[str, List[ScanInfo]] = {}
+    for bk in beam_keys:
+        beam = data[bk]
+        keys = grammar.sort_scan_keys(list(beam.keys()))
+        rows, row_infos = [], []
+        for sk in keys:
+            v = beam[sk]
+            if isinstance(v, dict) and "signal" in v:
+                v = v["signal"]
+            rows.append(np.asarray(v, dtype=np.float32))
+            row_infos.append(grammar.parse_scan_key(sk))
+        # ragged guard: the reference drops mismatched-length windows later;
+        # here we right-pad to the per-beam max and record true lengths via infos
+        if rows:
+            max_len = max(r.shape[0] for r in rows)
+            rows = [
+                r if r.shape[0] == max_len
+                else np.pad(r, (0, max_len - r.shape[0]))
+                for r in rows
+            ]
+            signals[bk] = np.stack(rows)
+        else:
+            signals[bk] = np.zeros((0, 0), np.float32)
+        infos[bk] = row_infos
+    return ParsedVolume(beam_keys, [float(a) for a in angles], signals, infos)
+
+
+def parse_txt_tree(root: str, file_folder: str) -> ParsedVolume:
+    """Parse ``root/<file_folder>/<beam>_<angle>/<scan>_<label>[_s-e].txt``.
+
+    Matches `DS_preprocessing.py:53-97`: beams sorted by float angle, one
+    float column per txt file, filename grammar for labels.
+    """
+    base = os.path.join(root, file_folder)
+    beams = grammar.sort_beams(os.listdir(base))
+    angles = [grammar.beam_angle(b) for b in beams]
+    signals: Dict[str, np.ndarray] = {}
+    infos: Dict[str, List[ScanInfo]] = {}
+    for beam in beams:
+        beam_dir = os.path.join(base, beam)
+        files = sorted(os.listdir(beam_dir), key=lambda f: int(f.split("_")[0]))
+        rows, row_infos = [], []
+        for fn in files:
+            rows.append(np.loadtxt(os.path.join(beam_dir, fn), dtype=np.float32))
+            row_infos.append(grammar.parse_scan_filename(fn))
+        signals[beam] = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
+        infos[beam] = row_infos
+    return ParsedVolume(beams, angles, signals, infos)
+
+
+def volume_defect_boxes(vol: ParsedVolume) -> Dict[str, list]:
+    """Per-scan defect bboxes in (beam, depth) space with adjacent-beam merge.
+
+    Reproduces the reference's merge heuristic
+    (`DS_preprocessing.py:111-117`): walking beams in angle order, a defect
+    on the next beam with identical depth range extends the previous bbox's
+    beam end. bbox = [beam_idx_start, beam_idx_end, depth_start, depth_end]
+    with beam indices as *positions in the sorted beam list* and depths
+    normalized [0, 1]. Key: ``"<scanKey>.png"`` for annotation-schema parity.
+    """
+    n_scans = max((len(v) for v in vol.scan_infos.values()), default=0)
+    ann: Dict[str, list] = {}
+    for s in range(n_scans):
+        key = f"{s}.png"
+        ann[key] = []
+        for b_idx, bk in enumerate(vol.beam_keys):
+            infos = vol.scan_infos[bk]
+            if s >= len(infos) or not infos[s].is_defect:
+                continue
+            d0, d1 = infos[s].position
+            prev = ann[key][-1] if ann[key] else None
+            if (prev is not None and prev["bbox"][2] == d0
+                    and prev["bbox"][3] == d1 and prev["bbox"][1] == b_idx - 1):
+                prev["bbox"][1] = b_idx
+            else:
+                ann[key].append(
+                    {"bbox": [b_idx, b_idx, d0, d1], "label": infos[s].label}
+                )
+    return ann
