@@ -13,6 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU plugin and resets
+# jax_platforms to "axon,cpu" at interpreter start; put it back to pure CPU
+# BEFORE any backend initializes so tests never dispatch over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/pautdx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
