@@ -30,19 +30,24 @@ from pautdx.nn.transformer import Encoder
 
 
 class MultiSignalClassifier(nn.Module):
-    """Per-signal MLP -> MHA across signals -> per-signal sigmoid."""
+    """Per-signal MLP -> MHA across signals -> per-signal sigmoid.
 
-    hidden: Sequence[int] = (128, 64)
+    Exact-parity forward with the reference checkpoint layout
+    (`signals/MultiSignalClassifier_model*.pth`): shared MLP with ReLU after
+    both layers, MHA(q=k=v) on the shared features, classifier applied to
+    the *attention output* (no residual).
+    """
+
+    hidden: Sequence[int] = (128, 64, 32)
     num_heads: int = 4
     return_logits: bool = False
 
     @nn.compact
     def __call__(self, signals: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = MLP(self.hidden, name="embed")(signals, train)
+        h = MLP(self.hidden[:2], name="embed")(signals, train)
         h = nn.relu(h)
         a = TinyMHA(self.num_heads, name="attn")(h, train=train)
-        h = h + a
-        logits = MLP((32, 1), name="head")(h, train)[..., 0]
+        logits = MLP((self.hidden[2], 1), name="head")(a, train)[..., 0]
         return logits if self.return_logits else nn.sigmoid(logits)
 
 
