@@ -1,0 +1,328 @@
+"""YOLO detector/segmenter family in JAX (flax.linen).
+
+TPU-native re-implementation of the capability the reference gets from
+Ultralytics (`BscanBased/yolo5s_retrain.py`, `yolo_seg_train.py`,
+`yolo8_seg_predict.py` — SURVEY.md §2.1): CSP backbone (C3 for the v5
+flavour, C2f for v8), SPPF, PAN neck, anchor-free decoupled detect head
+with DFL box distributions, and an optional segmentation head (prototype
+masks + per-anchor coefficients).
+
+Anchor-free + DFL covers both reference trainings: ultralytics
+``yolov5su.pt`` uses the same updated head as v8.
+
+Everything is static-shape: detection outputs are dense per-level grids;
+NMS (``pautdx.ops.nms``) runs on fixed-size top-k.
+
+Scales: n = depth 1/3, width 1/4; s = depth 1/3, width 1/2 (of base
+depths (3,6,6,3) / widths (64,128,256,512,1024)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+STRIDES = (8, 16, 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloConfig:
+    num_classes: int = 1
+    scale: str = "n"                 # n | s | m
+    flavour: str = "v8"              # v8 (C2f) | v5 (C3)
+    reg_max: int = 16                # DFL bins
+    num_protos: int = 32             # seg prototypes
+    seg: bool = False
+
+    @property
+    def depth_mult(self) -> float:
+        return {"n": 1 / 3, "s": 1 / 3, "m": 2 / 3}[self.scale]
+
+    @property
+    def width_mult(self) -> float:
+        return {"n": 0.25, "s": 0.5, "m": 0.75}[self.scale]
+
+    def width(self, w: int) -> int:
+        return max(8, int(round(w * self.width_mult / 8)) * 8)
+
+    def depth(self, d: int) -> int:
+        return max(1, round(d * self.depth_mult))
+
+
+class ConvBnSiLU(nn.Module):
+    features: int
+    kernel: int = 1
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3)(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    kernel1: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBnSiLU(self.features, self.kernel1)(x, train)
+        h = ConvBnSiLU(self.features, 3)(h, train)
+        return x + h if self.shortcut and x.shape[-1] == self.features else h
+
+
+class C2f(nn.Module):
+    """v8 cross-stage partial with dense skip concatenation."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        y = ConvBnSiLU(2 * c, 1)(x, train)
+        parts = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            parts.append(Bottleneck(c, self.shortcut, name=f"m{i}")(
+                parts[-1], train))
+        return ConvBnSiLU(self.features, 1, name="out")(
+            jnp.concatenate(parts, axis=-1), train)
+
+
+class C3(nn.Module):
+    """v5 CSP block."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        a = ConvBnSiLU(c, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, kernel1=1, name=f"m{i}")(a, train)
+        b = ConvBnSiLU(c, 1, name="cv2")(x, train)
+        return ConvBnSiLU(self.features, 1, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class SPPF(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        x = ConvBnSiLU(c, 1, name="cv1")(x, train)
+        pools = [x]
+        for _ in range(3):
+            pools.append(nn.max_pool(pools[-1], (5, 5), strides=(1, 1),
+                                     padding="SAME"))
+        return ConvBnSiLU(self.features, 1, name="cv2")(
+            jnp.concatenate(pools, axis=-1), train)
+
+
+def _upsample2x(x):
+    B, H, W, C = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+class Backbone(nn.Module):
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        block = C2f if cfg.flavour == "v8" else C3
+        w, d = cfg.width, cfg.depth
+        x = ConvBnSiLU(w(64), 3, 2, name="stem")(x, train)               # /2
+        x = ConvBnSiLU(w(128), 3, 2, name="down1")(x, train)             # /4
+        x = block(w(128), d(3), name="c1")(x, train)
+        x = ConvBnSiLU(w(256), 3, 2, name="down2")(x, train)             # /8
+        p3 = block(w(256), d(6), name="c2")(x, train)
+        x = ConvBnSiLU(w(512), 3, 2, name="down3")(p3, train)            # /16
+        p4 = block(w(512), d(6), name="c3")(x, train)
+        x = ConvBnSiLU(w(1024), 3, 2, name="down4")(p4, train)           # /32
+        x = block(w(1024), d(3), name="c4")(x, train)
+        p5 = SPPF(w(1024), name="sppf")(x, train)
+        return p3, p4, p5
+
+
+class Neck(nn.Module):
+    """PAN: top-down fusion then bottom-up aggregation."""
+
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cfg = self.cfg
+        block = C2f if cfg.flavour == "v8" else C3
+        w, d = cfg.width, cfg.depth
+        p3, p4, p5 = feats
+        h4 = block(w(512), d(3), shortcut=False, name="td4")(
+            jnp.concatenate([_upsample2x(p5), p4], axis=-1), train)
+        h3 = block(w(256), d(3), shortcut=False, name="td3")(
+            jnp.concatenate([_upsample2x(h4), p3], axis=-1), train)
+        n4 = block(w(512), d(3), shortcut=False, name="bu4")(
+            jnp.concatenate([
+                ConvBnSiLU(w(256), 3, 2, name="d3")(h3, train), h4], axis=-1),
+            train)
+        n5 = block(w(1024), d(3), shortcut=False, name="bu5")(
+            jnp.concatenate([
+                ConvBnSiLU(w(512), 3, 2, name="d4")(n4, train), p5], axis=-1),
+            train)
+        return h3, n4, n5
+
+
+class DetectHead(nn.Module):
+    """Decoupled anchor-free head: cls logits + DFL box distribution."""
+
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cfg = self.cfg
+        outs = []
+        for i, f in enumerate(feats):
+            c = f.shape[-1]
+            box = ConvBnSiLU(max(c, 64), 3, name=f"box1_{i}")(f, train)
+            box = ConvBnSiLU(max(c, 64), 3, name=f"box2_{i}")(box, train)
+            box = nn.Conv(4 * cfg.reg_max, (1, 1), name=f"box_out_{i}")(box)
+            cls = ConvBnSiLU(max(c, 64), 3, name=f"cls1_{i}")(f, train)
+            cls = ConvBnSiLU(max(c, 64), 3, name=f"cls2_{i}")(cls, train)
+            cls = nn.Conv(cfg.num_classes, (1, 1), name=f"cls_out_{i}")(cls)
+            outs.append({"box": box, "cls": cls})
+        return outs
+
+
+class ProtoNet(nn.Module):
+    """Mask prototype network on P3 (upsampled to /4)."""
+
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, p3, train: bool = False):
+        c = max(p3.shape[-1], 32)
+        x = ConvBnSiLU(c, 3, name="cv1")(p3, train)
+        x = _upsample2x(x)
+        x = ConvBnSiLU(c, 3, name="cv2")(x, train)
+        return nn.Conv(self.cfg.num_protos, (1, 1), name="out")(x)
+
+
+class MaskCoeffHead(nn.Module):
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        outs = []
+        for i, f in enumerate(feats):
+            h = ConvBnSiLU(max(f.shape[-1], 32), 3, name=f"cv_{i}")(f, train)
+            outs.append(nn.Conv(self.cfg.num_protos, (1, 1),
+                                name=f"out_{i}")(h))
+        return outs
+
+
+class YOLO(nn.Module):
+    """Full detector; returns dense per-level raw outputs + optional protos."""
+
+    cfg: YoloConfig = YoloConfig()
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict:
+        feats = Backbone(self.cfg, name="backbone")(images, train)
+        neck = Neck(self.cfg, name="neck")(feats, train)
+        outs = DetectHead(self.cfg, name="head")(neck, train)
+        result = {"levels": outs}
+        if self.cfg.seg:
+            result["protos"] = ProtoNet(self.cfg, name="proto")(neck[0], train)
+            result["mask_coeffs"] = MaskCoeffHead(self.cfg, name="mask_head")(
+                neck, train)
+        return result
+
+
+# ---------------------------------------------------------------------------
+# decoding
+
+
+def anchor_points(img_size: Tuple[int, int],
+                  strides: Sequence[int] = STRIDES) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All anchor centers (x, y) in pixels + per-anchor stride, concatenated
+    over levels. Shapes: (A, 2), (A,)."""
+    pts, strs = [], []
+    H, W = img_size
+    for s in strides:
+        h, w = H // s, W // s
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
+        grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
+        pts.append(jnp.stack([grid_x.reshape(-1), grid_y.reshape(-1)], -1))
+        strs.append(jnp.full((h * w,), s, jnp.float32))
+    return jnp.concatenate(pts), jnp.concatenate(strs)
+
+
+def dfl_expectation(box_dist: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """(..., 4*reg_max) logits -> (..., 4) expected ltrb distances."""
+    d = box_dist.reshape(box_dist.shape[:-1] + (4, reg_max))
+    p = nn.softmax(d, axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.sum(p * bins, axis=-1)
+
+
+def decode_boxes(result: Dict, img_size: Tuple[int, int], cfg: YoloConfig
+                 ) -> Dict[str, jnp.ndarray]:
+    """Dense decode: per-anchor xyxy boxes + class probs (+ mask coeffs).
+
+    Returns {"boxes": (B, A, 4), "scores": (B, A, nc)[, "coeffs": (B, A, P)]}.
+    """
+    boxes, scores, coeffs = [], [], []
+    pts, strs = anchor_points(img_size)
+    for i, lvl in enumerate(result["levels"]):
+        B, H, W, _ = lvl["box"].shape
+        box = dfl_expectation(lvl["box"].reshape(B, H * W, -1), cfg.reg_max)
+        boxes.append(box)
+        scores.append(nn.sigmoid(lvl["cls"].reshape(B, H * W, -1)))
+        if cfg.seg:
+            coeffs.append(result["mask_coeffs"][i].reshape(B, H * W, -1))
+    box = jnp.concatenate(boxes, axis=1)           # ltrb in stride units
+    ltrb = box * strs[None, :, None]
+    x1y1 = pts[None] - ltrb[..., :2]
+    x2y2 = pts[None] + ltrb[..., 2:]
+    out = {"boxes": jnp.concatenate([x1y1, x2y2], axis=-1),
+           "scores": jnp.concatenate(scores, axis=1),
+           "anchor_points": pts, "anchor_strides": strs}
+    if cfg.seg:
+        out["coeffs"] = jnp.concatenate(coeffs, axis=1)
+    return out
+
+
+def assemble_masks(protos: jnp.ndarray, coeffs: jnp.ndarray,
+                   boxes: jnp.ndarray, img_size: Tuple[int, int]
+                   ) -> jnp.ndarray:
+    """Prototype mask decode: sigmoid(protos @ coeffs), cropped to boxes.
+
+    protos (B, Hp, Wp, P); coeffs (B, K, P); boxes (B, K, 4) in image px.
+    Returns (B, K, Hp, Wp) masks in [0, 1] (at proto resolution, /4).
+    """
+    m = jnp.einsum("bhwp,bkp->bkhw", protos, coeffs)
+    m = nn.sigmoid(m)
+    B, K, Hp, Wp = m.shape
+    H, W = img_size
+    sx, sy = Wp / W, Hp / H
+    ys = jnp.arange(Hp, dtype=jnp.float32)[None, None, :, None]
+    xs = jnp.arange(Wp, dtype=jnp.float32)[None, None, None, :]
+    x1 = boxes[..., 0:1, None] * sx
+    y1 = boxes[..., 1:2, None] * sy
+    x2 = boxes[..., 2:3, None] * sx
+    y2 = boxes[..., 3:4, None] * sy
+    inside = ((xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2))
+    return m * inside
