@@ -1,0 +1,114 @@
+"""HF D-FINE checkpoint -> pautdx JAX D-FINE converter.
+
+Generic by construction: pautdx vision modules name their flax submodules
+with the same flattened dotted paths as the HF torch modules, so the
+conversion is a pure leaf-level transform keyed on the flattened path:
+
+- ``<p>.kernel``    <- ``<p>.weight``  (4D conv  -> (kh, kw, I, O);
+                                        2D linear -> (I, O); 3D conv1d)
+- ``<p>.scale``     <- ``<p>.weight``  (BN/LN/GN) or direct ``<p>.scale``
+- ``<p>.bias``      <- ``<p>.bias``
+- ``<p>.embedding`` <- ``<p>.weight``
+- batch_stats ``<p>.mean/var`` <- ``<p>.running_mean/running_var``
+
+Works with HF ``DFineForObjectDetection.state_dict()`` (and any other
+torch model whose tree pautdx mirrors). Unmatched torch buffers
+(``anchors``, ``num_points_scale``, denoising embeddings, ...) are
+reported, not fatal; unmatched *target* leaves raise.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+
+def _flatten(tree: Dict, prefix: Tuple[str, ...] = ()) -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+            out.update(_flatten(dict(v), prefix + (str(k),)))
+        else:
+            out[".".join(prefix + (str(k),))] = v
+    return out
+
+
+def convert_state_dict(torch_sd: Dict[str, np.ndarray],
+                       target_variables: Dict) -> Tuple[Dict, List[str]]:
+    """Return (variables, unused_torch_keys). Raises on unmatched target."""
+    params_flat = _flatten(dict(target_variables["params"]))
+    stats_flat = _flatten(dict(target_variables.get("batch_stats", {})))
+    used = set()
+    missing: List[str] = []
+
+    def grab(key):
+        used.add(key)
+        return np.asarray(torch_sd[key])
+
+    def convert_leaf(path: str, target) -> np.ndarray:
+        prefix, leaf = path.rsplit(".", 1) if "." in path else ("", path)
+        tshape = tuple(target.shape)
+        if leaf == "kernel" and f"{prefix}.weight" in torch_sd:
+            w = grab(f"{prefix}.weight")
+            if w.ndim == 4:
+                w = np.transpose(w, (2, 3, 1, 0))
+            elif w.ndim == 3:
+                w = np.transpose(w, (2, 1, 0))
+            else:
+                w = w.T
+        elif leaf == "scale":
+            w = grab(path) if path in torch_sd else grab(f"{prefix}.weight")
+        elif leaf == "bias" and f"{prefix}.bias" in torch_sd:
+            w = grab(f"{prefix}.bias")
+        elif leaf == "embedding" and f"{prefix}.weight" in torch_sd:
+            w = grab(f"{prefix}.weight")
+        elif path in torch_sd:
+            w = grab(path)
+        else:
+            missing.append(path)
+            return np.asarray(target)
+        if tuple(w.shape) != tshape:
+            raise ValueError(f"shape mismatch at {path}: torch {w.shape} "
+                             f"vs target {tshape}")
+        return w.astype(np.asarray(target).dtype)
+
+    new_params = {p: convert_leaf(p, v) for p, v in params_flat.items()}
+    new_stats: Dict[str, np.ndarray] = {}
+    for path, v in stats_flat.items():
+        prefix, leaf = path.rsplit(".", 1)
+        key = {"mean": f"{prefix}.running_mean",
+               "var": f"{prefix}.running_var"}.get(leaf)
+        if key is not None and key in torch_sd:
+            used.add(key)
+            new_stats[path] = np.asarray(torch_sd[key]).astype(
+                np.asarray(v).dtype)
+        else:
+            missing.append(path)
+            new_stats[path] = np.asarray(v)
+
+    if missing:
+        raise KeyError(f"{len(missing)} target leaves had no torch source, "
+                       f"e.g. {missing[:8]}")
+
+    def build(tree: Dict, flat: Dict[str, Any],
+              prefix: Tuple[str, ...] = ()) -> Dict:
+        out = {}
+        for k, v in dict(tree).items():
+            if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+                out[k] = build(dict(v), flat, prefix + (str(k),))
+            else:
+                out[k] = flat[".".join(prefix + (str(k),))]
+        return out
+
+    variables = {"params": build(dict(target_variables["params"]), new_params)}
+    if stats_flat:
+        variables["batch_stats"] = build(
+            dict(target_variables["batch_stats"]), new_stats)
+    unused = [k for k in torch_sd if k not in used]
+    return variables, unused
+
+
+def load_torch_model_state(model) -> Dict[str, np.ndarray]:
+    """torch nn.Module -> flat numpy state dict (buffers included)."""
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}

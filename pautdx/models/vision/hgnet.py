@@ -1,0 +1,183 @@
+"""HGNetV2 backbone in JAX — the D-FINE conv encoder.
+
+Architecture-exact re-implementation of the HGNetV2 used by HF D-FINE
+(the reference's backbone via `transformers`, SURVEY.md §2.2 dependency
+note): stem with dual-path 2x2 convs, stages of HG basic layers (dense
+conv aggregation + squeeze/excitation 1x1s), optional light blocks
+(1x1 + depthwise k), learnable affine blocks after activations.
+
+Module names mirror the torch implementation so
+``pautdx.compat.dfine_import`` can convert HF checkpoints mechanically
+(layout NHWC here vs torch NCHW).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class HGNetConfig:
+    stem_channels: Tuple[int, int, int] = (3, 16, 16)
+    stage_in_channels: Tuple[int, ...] = (16, 64, 128, 256)
+    stage_mid_channels: Tuple[int, ...] = (16, 32, 64, 128)
+    stage_out_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    stage_num_blocks: Tuple[int, ...] = (1, 1, 2, 1)
+    stage_num_layers: Tuple[int, ...] = (3, 3, 3, 3)
+    stage_downsample: Tuple[bool, ...] = (False, True, True, True)
+    stage_light_block: Tuple[bool, ...] = (False, False, True, True)
+    stage_kernel_size: Tuple[int, ...] = (3, 3, 5, 5)
+    use_learnable_affine_block: bool = True
+    out_indices: Tuple[int, ...] = (1, 2, 3)      # stages feeding the neck
+
+    @property
+    def out_channels(self) -> List[int]:
+        return [self.stage_out_channels[i] for i in self.out_indices]
+
+
+class LearnableAffine(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        return scale * x + bias
+
+
+class ConvLayer(nn.Module):
+    """conv (no bias) + BN + act (+ learnable affine)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    lab: bool = False
+    padding: Optional[str] = "SAME"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.padding == "SAME":
+            # torch symmetric padding (k-1)//2 — differs from XLA SAME for
+            # stride>1; required for checkpoint parity
+            p = (self.kernel - 1) // 2
+            pad = ((p, p), (p, p))
+        else:
+            pad = self.padding
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=pad,
+                    feature_group_count=self.groups, use_bias=False,
+                    name="convolution")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         name="normalization")(x)
+        if self.act:
+            x = nn.relu(x)
+            if self.lab:
+                x = LearnableAffine(name="lab")(x)
+        return x
+
+
+class ConvLayerLight(nn.Module):
+    features: int
+    kernel: int
+    lab: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvLayer(self.features, 1, act=False, name="conv1")(x, train)
+        x = ConvLayer(self.features, self.kernel, groups=self.features,
+                      lab=self.lab, name="conv2")(x, train)
+        return x
+
+
+class Embeddings(nn.Module):
+    """HGNetV2 stem: stride-2 conv, dual path (2x2 convs vs maxpool), merge."""
+
+    cfg: HGNetConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = self.cfg.stem_channels[1]
+        lab = self.cfg.use_learnable_affine_block
+        x = ConvLayer(c1, 3, stride=2, lab=lab, name="stem1")(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        a = ConvLayer(c1 // 2, 2, padding="VALID", lab=lab,
+                      name="stem2a")(x, train)
+        a = jnp.pad(a, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        a = ConvLayer(c1, 2, padding="VALID", lab=lab, name="stem2b")(a, train)
+        p = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        x = jnp.concatenate([p, a], axis=-1)
+        x = ConvLayer(c1, 3, stride=2, lab=lab, name="stem3")(x, train)
+        x = ConvLayer(self.cfg.stem_channels[2], 1, lab=lab,
+                      name="stem4")(x, train)
+        return x
+
+
+class BasicLayer(nn.Module):
+    mid: int
+    out: int
+    num_layers: int
+    kernel: int
+    light: bool
+    residual: bool
+    lab: bool
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        outs = [x]
+        h = x
+        for i in range(self.num_layers):
+            if self.light:
+                h = ConvLayerLight(self.mid, self.kernel, lab=self.lab,
+                                   name=f"layers.{i}")(h, train)
+            else:
+                h = ConvLayer(self.mid, self.kernel, lab=self.lab,
+                              name=f"layers.{i}")(h, train)
+            outs.append(h)
+        h = jnp.concatenate(outs, axis=-1)
+        h = ConvLayer(self.out // 2, 1, lab=self.lab,
+                      name="aggregation.0")(h, train)
+        h = ConvLayer(self.out, 1, lab=self.lab, name="aggregation.1")(h, train)
+        if self.residual:
+            h = h + identity
+        return h
+
+
+class Stage(nn.Module):
+    cfg: HGNetConfig
+    idx: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        i = self.idx
+        if c.stage_downsample[i]:
+            x = ConvLayer(c.stage_in_channels[i], 3, stride=2,
+                          groups=c.stage_in_channels[i], act=False,
+                          name="downsample")(x, train)
+        for b in range(c.stage_num_blocks[i]):
+            x = BasicLayer(c.stage_mid_channels[i], c.stage_out_channels[i],
+                           c.stage_num_layers[i], c.stage_kernel_size[i],
+                           c.stage_light_block[i], residual=(b != 0),
+                           lab=c.use_learnable_affine_block,
+                           name=f"blocks.{b}")(x, train)
+        return x
+
+
+class HGNetV2(nn.Module):
+    """Returns the feature maps of ``cfg.out_indices`` stages (NHWC)."""
+
+    cfg: HGNetConfig = HGNetConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        x = Embeddings(self.cfg, name="embedder")(x, train)
+        feats = []
+        for i in range(len(self.cfg.stage_in_channels)):
+            x = Stage(self.cfg, i, name=f"encoder.stages.{i}")(x, train)
+            feats.append(x)
+        return [feats[i] for i in self.cfg.out_indices]
