@@ -1,0 +1,228 @@
+"""DETR-family criterion: Hungarian matcher + VFL/L1/GIoU + FDR losses.
+
+The training objective the reference gets from HF's D-FINE loss function
+(`D-Fine/temporal_dfine.py:195-233` calls it per frame — SURVEY.md §3.3).
+
+Static-shape formulation: ground truths are padded to ``max_boxes``; the
+(Q x M) cost matrix is built densely inside jit, and the assignment runs
+as a host callback (`scipy.optimize.linear_sum_assignment`) — the same
+solver HF uses internally; padded GT columns carry a large cost and their
+matches are masked out of every loss term. The reference's fragility note
+(per-frame try/except with CE fallback, `temporal_dfine.py:204-231`)
+becomes unnecessary: padded matching is total, no exceptions.
+
+Losses (RT-DETR/D-FINE recipe):
+- classification: varifocal (IoU-weighted BCE) over all queries
+- boxes: L1 + GIoU on matched pairs (cxcywh normalized)
+- FGL: distribution focal loss of FDR corner bins against the target
+  corner distances projected onto the non-uniform ``weighting_function``
+  grid (interpolated two-bin CE), IoU-weighted
+- auxiliary: same losses on every intermediate decoder layer + the
+  encoder top-k head. (DDF self-distillation is omitted; it only shapes
+  gradients between decoder layers and does not change capability.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pautdx.models.vision.dfine import inverse_sigmoid, weighting_function
+
+
+def box_cxcywh_to_xyxy(b: jnp.ndarray) -> jnp.ndarray:
+    cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def giou_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise generalized IoU for aligned (..., 4) xyxy boxes."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(a[..., 3] - a[..., 1], 0)
+    area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(b[..., 3] - b[..., 1], 0)
+    union = area_a + area_b - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    ewh = jnp.clip(erb - elt, 0.0)
+    enclose = jnp.maximum(ewh[..., 0] * ewh[..., 1], 1e-9)
+    return iou - (enclose - union) / enclose
+
+
+def pairwise_giou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return giou_xyxy(a[:, None, :], b[None, :, :])
+
+
+def _hungarian_host(cost: np.ndarray) -> np.ndarray:
+    """(B, Q, M) cost -> (B, M) query index per gt column (full M match)."""
+    from scipy.optimize import linear_sum_assignment
+
+    B, Q, M = cost.shape
+    out = np.zeros((B, M), np.int32)
+    for b in range(B):
+        r, c = linear_sum_assignment(cost[b])
+        # columns 0..M-1 each matched exactly once when M <= Q
+        perm = np.zeros(M, np.int32)
+        perm[c] = r
+        out[b] = perm
+    return out
+
+
+def hungarian_match(cost: jnp.ndarray) -> jnp.ndarray:
+    """Batch Hungarian assignment via host callback; cost (B, Q, M)."""
+    B, Q, M = cost.shape
+    cost = jax.lax.stop_gradient(
+        jnp.nan_to_num(cost, nan=1e6, posinf=1e6, neginf=1e6))
+    return jax.pure_callback(
+        _hungarian_host,
+        jax.ShapeDtypeStruct((B, M), jnp.int32),
+        cost,
+        vmap_method="sequential",
+    )
+
+
+def build_cost(logits: jnp.ndarray, boxes: jnp.ndarray,
+               gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
+               gt_mask: jnp.ndarray,
+               cls_weight: float = 2.0, l1_weight: float = 5.0,
+               giou_weight: float = 2.0, alpha: float = 0.25,
+               gamma: float = 2.0) -> jnp.ndarray:
+    """Per-image focal-style matching cost (B, Q, M), padded cols large."""
+    prob = jax.nn.sigmoid(logits)                              # (B, Q, C)
+    p = jnp.take_along_axis(
+        prob, jnp.clip(gt_classes, 0)[:, None, :].repeat(prob.shape[1], 1),
+        axis=-1)                                               # (B, Q, M)
+    pos_cost = alpha * ((1 - p) ** gamma) * (-jnp.log(p + 1e-8))
+    neg_cost = (1 - alpha) * (p ** gamma) * (-jnp.log(1 - p + 1e-8))
+    cost_cls = pos_cost - neg_cost
+    cost_l1 = jnp.sum(
+        jnp.abs(boxes[:, :, None, :] - gt_boxes[:, None, :, :]), -1)
+    xy_p = box_cxcywh_to_xyxy(boxes)
+    xy_g = box_cxcywh_to_xyxy(gt_boxes)
+    cost_giou = -jax.vmap(pairwise_giou)(xy_p, xy_g)
+    cost = (cls_weight * cost_cls + l1_weight * cost_l1
+            + giou_weight * cost_giou)
+    return jnp.where(gt_mask[:, None, :] > 0, cost, 1e6)
+
+
+def _fgl_loss(pred_corners: jnp.ndarray, target_dist: jnp.ndarray,
+              project: jnp.ndarray, weight: jnp.ndarray,
+              max_num_bins: int) -> jnp.ndarray:
+    """Fine-grained localization loss: two-bin interpolated CE on the
+    non-uniform bin grid (D-FINE's distribution focal analogue).
+
+    pred_corners (N, 4*(bins+1)); target_dist (N, 4) in W(n) units;
+    weight (N,) IoU-based.
+    """
+    n_bins = max_num_bins + 1
+    logits = pred_corners.reshape(-1, 4, n_bins)
+    t = target_dist.reshape(-1, 4)
+    # locate t between project bins (project ascending)
+    idx = jnp.clip(jnp.searchsorted(project, t, side="right") - 1,
+                   0, n_bins - 2)
+    left = project[idx]
+    right = project[idx + 1]
+    wr = jnp.clip((t - left) / jnp.maximum(right - left, 1e-8), 0.0, 1.0)
+    wl = 1.0 - wr
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    ll = jnp.take_along_axis(logits, idx[..., None], -1)[..., 0]
+    lr = jnp.take_along_axis(logits, (idx + 1)[..., None], -1)[..., 0]
+    ce = wl * (logz - ll) + wr * (logz - lr)
+    return jnp.sum(ce.mean(-1) * weight)
+
+
+@functools.partial(jax.jit, static_argnames=("num_labels", "max_num_bins",
+                                             "reg_scale", "up"))
+def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
+                    gt_classes: jnp.ndarray, gt_mask: jnp.ndarray,
+                    num_labels: int, max_num_bins: int = 32,
+                    reg_scale: float = 4.0, up: float = 0.5,
+                    cls_weight: float = 1.0, l1_weight: float = 5.0,
+                    giou_weight: float = 2.0, fgl_weight: float = 0.15
+                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full D-FINE training loss over final + auxiliary heads.
+
+    outputs: the DFine.__call__ dict (train=True); gt_boxes (B, M, 4)
+    cxcywh normalized, gt_classes (B, M), gt_mask (B, M).
+    """
+    project = weighting_function(max_num_bins, up, reg_scale)
+    total = 0.0
+    aux: Dict[str, jnp.ndarray] = {}
+    n_heads = len(outputs["intermediate_logits"])
+    num_boxes = jnp.maximum(gt_mask.sum(), 1.0)
+
+    def one_head(logits, boxes, corners=None, refs=None):
+        cost = build_cost(logits, boxes, gt_boxes, gt_classes, gt_mask)
+        match = hungarian_match(cost)                       # (B, M)
+        B, Q, C = logits.shape
+        M = gt_boxes.shape[1]
+        b_idx = jnp.arange(B)[:, None]
+        m_boxes = boxes[b_idx, match]                       # (B, M, 4)
+        xy_p = box_cxcywh_to_xyxy(m_boxes)
+        xy_g = box_cxcywh_to_xyxy(gt_boxes)
+        giou = giou_xyxy(xy_p, xy_g)
+        iou = jnp.clip(giou, 0.0)                            # (B, M)
+
+        # varifocal classification: target q = IoU at matched slots
+        t_cls = jnp.zeros((B, Q, C))
+        q_val = (iou * gt_mask)
+        t_cls = t_cls.at[b_idx, match, jnp.clip(gt_classes, 0)].max(
+            jnp.where(gt_mask > 0, q_val, 0.0))
+        prob = jax.nn.sigmoid(logits)
+        weight = 0.75 * prob ** 2.0 * (t_cls <= 0) + t_cls
+        logz = jnp.log1p(jnp.exp(-jnp.abs(logits))) + jnp.maximum(-logits, 0)
+        bce = t_cls * logz + (1 - t_cls) * (logz + logits)
+        loss_cls = jnp.sum(bce * weight) / num_boxes
+
+        l1 = jnp.sum(jnp.abs(m_boxes - gt_boxes), -1)
+        loss_l1 = jnp.sum(l1 * gt_mask) / num_boxes
+        loss_giou = jnp.sum((1.0 - giou) * gt_mask) / num_boxes
+        head_total = (cls_weight * loss_cls + l1_weight * loss_l1
+                      + giou_weight * loss_giou)
+
+        if corners is not None:
+            # FGL: distances from initial reference centers to gt corners
+            # in weighting-function units
+            ref = refs[b_idx, match]                         # (B, M, 4)
+            gxy = box_cxcywh_to_xyxy(gt_boxes)
+            rs = abs(reg_scale)
+            d_l = (ref[..., 0] - gxy[..., 0]) * rs / jnp.maximum(ref[..., 2], 1e-6) - 0.5 * rs
+            d_t = (ref[..., 1] - gxy[..., 1]) * rs / jnp.maximum(ref[..., 3], 1e-6) - 0.5 * rs
+            d_r = (gxy[..., 2] - ref[..., 0]) * rs / jnp.maximum(ref[..., 2], 1e-6) - 0.5 * rs
+            d_b = (gxy[..., 3] - ref[..., 1]) * rs / jnp.maximum(ref[..., 3], 1e-6) - 0.5 * rs
+            tdist = jnp.stack([d_l, d_t, d_r, d_b], -1)
+            m_corners = corners[b_idx, match]
+            w = (iou * gt_mask).reshape(-1)
+            fgl = _fgl_loss(m_corners.reshape(-1, corners.shape[-1]),
+                            tdist.reshape(-1, 4), project, w, max_num_bins)
+            head_total = head_total + fgl_weight * fgl / num_boxes
+        return head_total, loss_cls, loss_l1, loss_giou
+
+    # final + intermediate decoder heads
+    for i in range(n_heads):
+        corners = None
+        refs = None
+        n_extra = n_heads - len(outputs["intermediate_corners"])
+        if i >= n_extra:
+            corners = outputs["intermediate_corners"][i - n_extra]
+            refs = outputs["initial_references"][i - n_extra]
+        ht, lc, ll, lg = one_head(outputs["intermediate_logits"][i],
+                                  outputs["intermediate_boxes"][i],
+                                  corners, refs)
+        total = total + ht
+        if i == n_heads - 1:
+            aux.update({"cls": lc, "l1": ll, "giou": lg})
+
+    # encoder head
+    ht, _, _, _ = one_head(outputs["enc_topk_logits"],
+                           outputs["enc_topk_bboxes"])
+    total = total + ht
+    aux["total"] = total
+    return total, aux

@@ -541,6 +541,7 @@ class DFine(nn.Module):
         return {
             "logits": out_logits[eval_idx + 1],
             "pred_boxes": out_boxes[eval_idx + 1],
+            "last_hidden_state": hidden,
             "intermediate_logits": out_logits,
             "intermediate_boxes": out_boxes,
             "intermediate_corners": out_corners,
