@@ -1,0 +1,68 @@
+"""Benchmark: D-FINE-nano B-scan inference throughput (frames/sec/chip).
+
+Driver contract: prints ONE JSON line
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+Workload matches the BASELINE.json north star: 640px B-scan frames through
+the JAX D-FINE-nano detector, bf16 activations, jit-compiled, steady-state
+timing on one chip. ``vs_baseline`` is value / 5000 (the >=5k
+frames/sec/chip target; the torch reference records no throughput at all,
+BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from pautdx.models.vision.dfine import DFine, dfine_nano
+
+    batch = 32
+    img = 640
+    cfg = dfine_nano(num_labels=2)
+    model = DFine(cfg)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(batch, img, img, 3)).astype(np.float32),
+        dtype=jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, img, img, 3), jnp.bfloat16),
+                           train=False)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
+        variables)
+
+    @jax.jit
+    def forward(images):
+        out = model.apply(variables, images, train=False)
+        return out["logits"], out["pred_boxes"]
+
+    # warmup/compile
+    jax.block_until_ready(forward(images))
+    jax.block_until_ready(forward(images))
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = forward(images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch * n_iters / dt
+
+    print(json.dumps({
+        "metric": "dfine_nano_640px_inference",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 5000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -477,7 +477,8 @@ class DFine(nn.Module):
         enc_coord = MLPHead(c.d_model, 4, 3, name="model.enc_bbox_head")(
             out_mem) + anchors
 
-        topk_ind = jax.lax.top_k(enc_class.max(-1), c.num_queries)[1]
+        num_queries = min(c.num_queries, enc_class.shape[1])
+        topk_ind = jax.lax.top_k(enc_class.max(-1), num_queries)[1]
         take = lambda t: jnp.take_along_axis(   # noqa: E731
             t, topk_ind[..., None], axis=1)
         ref_unact = take(enc_coord)
