@@ -1,0 +1,42 @@
+"""Pallas kernels vs XLA reference implementations (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pautdx.ops.nms import nms
+from pautdx.ops.pallas_nms import pallas_nms
+
+
+def _random_boxes(n, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    wh = rng.uniform(5, 30, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], 1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    classes = rng.integers(0, 3, n).astype(np.int32)
+    return jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes)
+
+
+def test_pallas_nms_matches_xla_nms():
+    boxes, scores, classes = _random_boxes(64)
+    kw = dict(iou_threshold=0.5, score_threshold=0.1, top_k=64, max_det=32)
+    a = nms(boxes, scores, classes, **kw)
+    b = pallas_nms(boxes, scores, classes, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+    keep = np.asarray(a["valid"])
+    np.testing.assert_allclose(np.asarray(a["scores"])[keep],
+                               np.asarray(b["scores"])[keep])
+    np.testing.assert_allclose(np.asarray(a["boxes"])[keep],
+                               np.asarray(b["boxes"])[keep])
+    np.testing.assert_array_equal(np.asarray(a["classes"])[keep],
+                                  np.asarray(b["classes"])[keep])
+
+
+def test_pallas_nms_suppression_basic():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                        jnp.float32)
+    scores = jnp.asarray([0.9, 0.85, 0.7])
+    classes = jnp.zeros(3, jnp.int32)
+    out = pallas_nms(boxes, scores, classes, iou_threshold=0.5, top_k=3,
+                     max_det=3, interpret=True)
+    assert int(out["valid"].sum()) == 2
