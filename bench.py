@@ -31,13 +31,16 @@ def main():
     images = jnp.asarray(
         rng.normal(size=(batch, img, img, 3)).astype(np.float32),
         dtype=jnp.bfloat16)
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.zeros((1, img, img, 3), jnp.bfloat16),
-                           train=False)
+    # init under jit: ONE compiled program instead of thousands of eager
+    # op dispatches (critical under remote-compile tunnels); bf16 cast on
+    # host so no per-leaf device round trips
+    init_fn = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
+        train=False))
+    variables = jax.device_get(init_fn(jax.random.PRNGKey(0)))
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
-        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
-        variables)
+        if hasattr(x, "dtype") and x.dtype == np.float32 else x, variables)
 
     @jax.jit
     def forward(images):
