@@ -1,0 +1,236 @@
+"""pautdx command-line interface.
+
+One CLI replaces the reference's per-task scripts (SURVEY.md §1 L4/L5):
+
+- ``build-dataset``   raw txt-tree / JSON volumes -> rendered B-scans +
+                      annotations.json (+ optional YOLO export)
+                      (~ `DS_preprocessing.py` + `yolo_ds_preprocess.py`)
+- ``train-signal``    train a signal-zoo model with a named recipe
+                      (~ `train_detection.py`, `training.py`, ...)
+- ``eval-signal``     checkpoint -> metrics artifacts
+                      (~ `acc_metrics_hybrid_binary_dynamic_.py`)
+- ``predict-signal``  JSON volumes -> predictions.json + optional heatmap
+                      (~ `predict.py`, `GNN_testing_multi_v2_MAP.py`)
+- ``bridge``          stdin/stdout JSON serving (~ `predict_sequence.py`)
+- ``bench``           inference throughput microbenchmarks
+
+All hyperparameters default to the reference's canonical values
+(`pautdx.train.recipes`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_build_dataset(args) -> None:
+    import numpy as np
+
+    from pautdx.data.annotations import (
+        prepare_yolo_split, save_annotations, write_yolo_dataset,
+    )
+    from pautdx.data.bscan import render_volume_dataset
+    from pautdx.data.volume import parse_json_volume, parse_txt_tree
+
+    os.makedirs(args.out, exist_ok=True)
+    annotations = {}
+    images = {}
+    entries = sorted(os.listdir(args.data))
+    for entry in entries:
+        path = os.path.join(args.data, entry)
+        if entry.endswith(".json"):
+            vol = parse_json_volume(path)
+            seq = entry[:-5]
+        elif os.path.isdir(path):
+            vol = parse_txt_tree(args.data, entry)
+            seq = entry
+        else:
+            continue
+        imgs, ann = render_volume_dataset(vol, args.size, args.size)
+        annotations[seq] = ann
+        seq_dir = os.path.join(args.out, seq)
+        os.makedirs(seq_dir, exist_ok=True)
+        for t in range(imgs.shape[0]):
+            np.save(os.path.join(seq_dir, f"{t}.npy"), imgs[t])
+            images[f"{seq}/{t}.png"] = imgs[t]
+    save_annotations(os.path.join(args.out, "annotations.json"), annotations)
+    print(f"wrote {len(annotations)} sequences to {args.out}")
+    if args.yolo:
+        examples = prepare_yolo_split(annotations, (args.size, args.size),
+                                      keep_empty_fraction=args.keep_empty)
+        yaml = write_yolo_dataset(examples, images,
+                                  os.path.join(args.out, "yolo"))
+        print(f"YOLO dataset: {yaml}")
+
+
+def _cmd_train_signal(args) -> None:
+    from pautdx.data.datasets import (
+        BatchIterator, defect_focused, load_json_dir, train_val_split,
+    )
+    from pautdx.mesh import make_mesh
+    from pautdx.models.signal.detection_zoo import MODEL_ZOO
+    from pautdx.train import ReduceLROnPlateau, Trainer, make_optimizer
+    from pautdx.train.recipes import RECIPES
+
+    recipe = RECIPES[args.recipe]
+    ds = load_json_dir(args.data, seq_len=args.seq_len or recipe.seq_len)
+    if args.defect_focused:
+        ds = defect_focused(ds)
+    train_ds, val_ds = train_val_split(ds)
+    model = MODEL_ZOO[args.model]()
+    opt = make_optimizer(recipe.learning_rate, recipe.weight_decay,
+                         recipe.clip_norm)
+    mesh = make_mesh() if args.dp else None
+    trainer = Trainer(model, recipe.make_objective(), opt, mesh=mesh,
+                      checkpoint_dir=args.out)
+    bs = args.batch_size or recipe.batch_size
+    state = trainer.init(next(iter(BatchIterator(train_ds, bs))))
+    trainer.fit(
+        state,
+        lambda: BatchIterator(train_ds, bs, seed=1),
+        lambda: BatchIterator(val_ds, bs, shuffle=False,
+                              drop_remainder=False),
+        epochs=args.epochs or recipe.epochs,
+        plateau=(ReduceLROnPlateau(patience=recipe.plateau_patience)
+                 if recipe.scheduler == "plateau" else None),
+        early_stop_patience=recipe.early_stop_patience,
+        metadata={"model": args.model, "recipe": args.recipe,
+                  "seq_len": args.seq_len or recipe.seq_len},
+    )
+    from pautdx.viz import plot_training_history
+    plot_training_history(trainer.history,
+                          os.path.join(args.out, "history.png"))
+    print(f"checkpoints + history in {args.out}")
+
+
+def _load_signal_model(ckpt_dir: str):
+    import jax
+    import numpy as np
+
+    from pautdx.models.signal.detection_zoo import MODEL_ZOO
+    from pautdx.train import CheckpointManager
+
+    ckpt = CheckpointManager(ckpt_dir)
+    state, meta = ckpt.restore("best" if "best" in ckpt._markers()
+                               else "latest")
+    model = MODEL_ZOO[meta["model"]]()
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+
+    @jax.jit
+    def predict(signals):
+        return model.apply(variables, signals, train=False)
+
+    return predict, meta
+
+
+def _cmd_eval_signal(args) -> None:
+    from pautdx.data.datasets import load_json_dir
+    from pautdx.eval.report import SignalEvaluator
+
+    predict, meta = _load_signal_model(args.checkpoint)
+    ds = load_json_dir(args.data, seq_len=meta.get("seq_len", 50))
+    report = SignalEvaluator(predict, threshold=args.threshold).run(
+        ds, out_dir=args.out)
+    print(json.dumps(report, indent=1))
+
+
+def _cmd_predict_signal(args) -> None:
+    import numpy as np
+
+    from pautdx.data.volume import parse_json_volume
+    from pautdx.eval.report import prediction_map
+
+    predict, meta = _load_signal_model(args.checkpoint)
+    os.makedirs(args.out, exist_ok=True)
+    results = {}
+    for fn in sorted(os.listdir(args.data)):
+        if not fn.endswith(".json"):
+            continue
+        vol = parse_json_volume(os.path.join(args.data, fn))
+        heat = prediction_map(predict, vol, meta.get("seq_len", 50))
+        results[fn] = {
+            "beams": vol.beam_keys,
+            "probabilities": np.nan_to_num(heat).tolist(),
+        }
+        if args.heatmaps:
+            from pautdx.viz import plot_prediction_heatmap
+            plot_prediction_heatmap(
+                heat, os.path.join(args.out, fn.replace(".json", ".png")))
+    with open(os.path.join(args.out, "predictions.json"), "w") as f:
+        json.dump(results, f)
+    print(f"predictions for {len(results)} volumes in {args.out}")
+
+
+def _cmd_bridge(args) -> None:
+    from pautdx.serve import serve_signals
+
+    class _Endpoint:
+        def predict(self, signals):
+            predict, _ = _load_signal_model(args.checkpoint)
+            import numpy as np
+            out = predict(signals)
+            prob = np.asarray(out["prob"] if isinstance(out, dict) else out)
+            res = {"prob": prob,
+                   "pred": (prob >= args.threshold).astype(float)}
+            if isinstance(out, dict) and "positions" in out:
+                res["positions"] = np.asarray(out["positions"])
+            return res
+
+    serve_signals(_Endpoint())
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("pautdx")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-dataset")
+    b.add_argument("--data", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--size", type=int, default=320)
+    b.add_argument("--yolo", action="store_true")
+    b.add_argument("--keep-empty", type=float, default=0.1)
+    b.set_defaults(fn=_cmd_build_dataset)
+
+    t = sub.add_parser("train-signal")
+    t.add_argument("--data", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--model", default="HybridBinary")
+    t.add_argument("--recipe", default="detection")
+    t.add_argument("--epochs", type=int)
+    t.add_argument("--batch-size", type=int)
+    t.add_argument("--seq-len", type=int)
+    t.add_argument("--defect-focused", action="store_true")
+    t.add_argument("--dp", action="store_true",
+                   help="data-parallel over all local devices")
+    t.set_defaults(fn=_cmd_train_signal)
+
+    e = sub.add_parser("eval-signal")
+    e.add_argument("--data", required=True)
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--out", default="eval_out")
+    e.add_argument("--threshold", type=float, default=0.5)
+    e.set_defaults(fn=_cmd_eval_signal)
+
+    pr = sub.add_parser("predict-signal")
+    pr.add_argument("--data", required=True)
+    pr.add_argument("--checkpoint", required=True)
+    pr.add_argument("--out", default="predictions")
+    pr.add_argument("--heatmaps", action="store_true")
+    pr.set_defaults(fn=_cmd_predict_signal)
+
+    br = sub.add_parser("bridge")
+    br.add_argument("--checkpoint", required=True)
+    br.add_argument("--threshold", type=float, default=0.5)
+    br.set_defaults(fn=_cmd_bridge)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
