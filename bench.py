@@ -43,19 +43,22 @@ def main():
         if hasattr(x, "dtype") and x.dtype == np.float32 else x, variables)
 
     @jax.jit
-    def forward(images):
-        out = model.apply(variables, images, train=False)
-        return out["logits"], out["pred_boxes"]
+    def forward(images, carry):
+        # a scalar carry chains iterations so timing cannot be fooled by
+        # async dispatch / lazy relays: each step depends on the previous
+        out = model.apply(variables, images + carry * 0.0, train=False)
+        return out["logits"], out["pred_boxes"], out["logits"].mean()
 
-    # warmup/compile
-    jax.block_until_ready(forward(images))
-    jax.block_until_ready(forward(images))
+    # warmup/compile + real sync via host fetch
+    carry = jnp.zeros((), jnp.bfloat16)
+    _, _, carry = forward(images, carry)
+    float(carry)
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = forward(images)
-    jax.block_until_ready(out)
+        _, _, carry = forward(images, carry)
+    float(carry)                      # host fetch forces full completion
     dt = time.perf_counter() - t0
     fps = batch * n_iters / dt
 
