@@ -1,30 +1,37 @@
-"""Staged D-FINE performance probe: time each pipeline stage on the chip.
+"""Staged D-FINE performance probe with relay-proof chained timing.
+
+``block_until_ready`` does not reliably sync on tunneled PJRT relays, so
+every measurement chains iterations through a scalar carry and ends with a
+host fetch — the only trustworthy fence.
 
 Usage: python tools/perf_probe.py [img] [batch]
-Stages: backbone -> +encoder -> +query selection -> full model.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from pautdx.models.vision.dfine import (
-    DFine, DFineConfig, HybridEncoder, MLPHead, dfine_nano,
-)
+from pautdx.models.vision.dfine import DFine, HybridEncoder, dfine_nano
 from pautdx.models.vision.hgnet import HGNetV2
-from flax import linen as nn
 
 
-def timeit(name, fn, *args, iters=20):
-    jax.block_until_ready(fn(*args))
+def chained_time(name, fn, images, iters=20):
+    """fn(images, carry) -> scalar; chained + host-fetched timing."""
+    f = jax.jit(fn)
+    carry = jnp.zeros((), images.dtype)
+    carry = f(images, carry)
+    float(carry)                       # compile + sync
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        carry = f(images, carry)
+    float(carry)
     dt = (time.time() - t0) / iters * 1000
     print(f"{name}: {dt:.2f} ms/iter")
     return dt
@@ -50,11 +57,14 @@ def main():
     hg_vars = {"params": p["model.backbone.model"],
                "batch_stats": bs["model.backbone.model"]}
     hg = HGNetV2(cfg.backbone)
-    timeit("backbone", jax.jit(
-        lambda im: hg.apply(hg_vars, im, train=False)), images)
 
-    def through_encoder(im):
-        feats = hg.apply(hg_vars, im, train=False)
+    chained_time(
+        "backbone",
+        lambda im, c: hg.apply(hg_vars, im + c * 0, train=False)[-1].mean(),
+        images)
+
+    def encoder_stage(im, c):
+        feats = hg.apply(hg_vars, im + c * 0, train=False)
         proj = []
         for i, f in enumerate(feats):
             k = p[f"model.encoder_input_proj.{i}.0"]["kernel"]
@@ -65,16 +75,18 @@ def main():
             bns = bs[f"model.encoder_input_proj.{i}.1"]
             f2 = ((f2 - bns["mean"]) * jax.lax.rsqrt(bns["var"] + 1e-5)
                   * bnp_["scale"] + bnp_["bias"])
-            proj.append(f2)
+            proj.append(f2.astype(im.dtype))
         enc_vars = {"params": p["model.encoder"],
                     "batch_stats": bs["model.encoder"]}
-        return HybridEncoder(cfg).apply(enc_vars, proj, train=False)
+        outs = HybridEncoder(cfg).apply(enc_vars, proj, train=False)
+        return sum(o.mean() for o in outs)
 
-    timeit("backbone+encoder", jax.jit(
-        lambda im: through_encoder(im)[-1]), images)
+    chained_time("backbone+encoder", encoder_stage, images)
 
-    timeit("full", jax.jit(
-        lambda im: model.apply(variables, im, train=False)["logits"]),
+    chained_time(
+        "full",
+        lambda im, c: model.apply(variables, im + c * 0,
+                                  train=False)["logits"].mean(),
         images)
 
 
