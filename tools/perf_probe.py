@@ -67,7 +67,8 @@ def main():
         feats = hg.apply(hg_vars, im + c * 0, train=False)
         proj = []
         for i, f in enumerate(feats):
-            k = p[f"model.encoder_input_proj.{i}.0"]["kernel"]
+            f = f.astype(im.dtype)
+            k = p[f"model.encoder_input_proj.{i}.0"]["kernel"].astype(im.dtype)
             f2 = jax.lax.conv_general_dilated(
                 f, k, (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
