@@ -300,7 +300,10 @@ class HybridEncoder(nn.Module):
         x = feats[-1]
         B, H, W, D = x.shape
         src = x.reshape(B, H * W, D)
-        pos = jnp.asarray(sincos_position_embedding(W, H, c.encoder_hidden_dim))
+        # cast the constant to the activation dtype: a float32 constant
+        # would silently promote the whole downstream FPN/PAN to fp32
+        pos = jnp.asarray(sincos_position_embedding(W, H, c.encoder_hidden_dim),
+                          dtype=src.dtype)
         for li in range(c.encoder_layers):
             src = EncoderLayer(c, name=f"encoder.0.layers.{li}")(
                 src, pos, train)
@@ -395,14 +398,17 @@ class DeformableAttention(nn.Module):
         weights = nn.softmax(weights.reshape(B, Q, n_heads, total), axis=-1)
         scale = jnp.asarray(
             [1.0 / p for p in pts_list for _ in range(p)], jnp.float32)
-        # reference_points: (B, Q, 4) cxcywh normalized
+        # coordinate math in fp32 regardless of feature dtype
+        offsets = offsets.astype(jnp.float32)
+        reference_points = reference_points.astype(jnp.float32)
         offset = (offsets * scale[None, None, None, :, None]
                   * reference_points[:, :, None, None, 2:]
                   * c.decoder_offset_scale)
         locations = reference_points[:, :, None, None, :2] + offset
-        out = ms_deformable_attention(value_levels, locations, weights,
+        out = ms_deformable_attention(value_levels, locations,
+                                      weights.astype(value_levels[0].dtype),
                                       pts_list)
-        return out
+        return out.astype(hidden.dtype)
 
 
 class DecoderLayer(nn.Module):
@@ -469,13 +475,15 @@ class DFine(nn.Module):
         flat = jnp.concatenate(
             [s.reshape(s.shape[0], -1, c.d_model) for s in sources], axis=1)
         anchors, valid_mask = self.generate_anchors(spatial_shapes)
-
-        memory = valid_mask * flat
+        # dtype discipline: features ride the activation dtype (bf16 in
+        # serving), while box/coordinate math stays fp32 — anchors/logit
+        # coords need more mantissa than bf16 carries
+        memory = valid_mask.astype(flat.dtype) * flat
         out_mem = nn.Dense(c.d_model, name="model.enc_output.0")(memory)
         out_mem = nn.LayerNorm(epsilon=1e-5, name="model.enc_output.1")(out_mem)
         enc_class = nn.Dense(c.num_labels, name="model.enc_score_head")(out_mem)
         enc_coord = MLPHead(c.d_model, 4, 3, name="model.enc_bbox_head")(
-            out_mem) + anchors
+            out_mem).astype(jnp.float32) + anchors
 
         num_queries = min(c.num_queries, enc_class.shape[1])
         topk_ind = jax.lax.top_k(enc_class.max(-1), num_queries)[1]
@@ -508,6 +516,7 @@ class DFine(nn.Module):
         for i in range(c.decoder_layers):
             ref_detach = jax.lax.stop_gradient(ref_points)
             pos = jnp.clip(query_pos_head(ref_detach), -10.0, 10.0)
+            pos = pos.astype(hidden.dtype)          # back to feature dtype
             hidden = DecoderLayer(c, name=f"model.decoder.layers.{i}")(
                 hidden, pos, value_levels, ref_detach, train)
             if i == 0:
