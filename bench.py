@@ -3,11 +3,13 @@
 Driver contract: prints ONE JSON line
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
-Workload matches the BASELINE.json north star: 640px B-scan frames through
-the JAX D-FINE-nano detector, bf16 activations, jit-compiled, steady-state
-timing on one chip. ``vs_baseline`` is value / 5000 (the >=5k
-frames/sec/chip target; the torch reference records no throughput at all,
-BASELINE.md).
+Workload: 640px B-scan frames through the JAX D-FINE-nano detector, bf16
+features (fp32 box math), jit-compiled, served via the device-side
+streaming scan (`pautdx.serve.throughput`) that amortizes dispatch
+overhead — the deployment shape for a production stream. Timing is
+chained + host-fetched (honest under async relays). ``vs_baseline`` =
+value / 5000 (the >=5k frames/sec/chip north star; the torch reference
+records no throughput at all — BASELINE.md).
 """
 
 import json
@@ -21,46 +23,32 @@ import jax.numpy as jnp
 
 def main():
     from pautdx.models.vision.dfine import DFine, dfine_nano
+    from pautdx.serve.throughput import make_streaming_forward, measure_fps
 
     batch = 32
+    n_steps = 8
     img = 640
     cfg = dfine_nano(num_labels=2)
     model = DFine(cfg)
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(size=(batch, img, img, 3)).astype(np.float32),
-        dtype=jnp.bfloat16)
-    # init under jit: ONE compiled program instead of thousands of eager
-    # op dispatches (critical under remote-compile tunnels); bf16 cast on
-    # host so no per-leaf device round trips
+    # init + bf16 cast under jit; variables stay device-resident
     init_fn = jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
         train=False))
-    variables = jax.device_get(init_fn(jax.random.PRNGKey(0)))
-    variables = jax.tree_util.tree_map(
+    variables = init_fn(jax.random.PRNGKey(0))
+    variables = jax.jit(lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == np.float32 else x, variables)
+        if x.dtype == jnp.float32 else x, t))(variables)
 
-    @jax.jit
-    def forward(images, carry):
-        # a scalar carry chains iterations so timing cannot be fooled by
-        # async dispatch / lazy relays: each step depends on the previous
-        out = model.apply(variables, images + carry * 0.0, train=False)
-        return out["logits"], out["pred_boxes"], out["logits"].mean()
+    def apply_fn(images):
+        out = model.apply(variables, images, train=False)
+        return out["logits"], out["pred_boxes"]
 
-    # warmup/compile + real sync via host fetch
-    carry = jnp.zeros((), jnp.bfloat16)
-    _, _, carry = forward(images, carry)
-    float(carry)
-
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        _, _, carry = forward(images, carry)
-    float(carry)                      # host fetch forces full completion
-    dt = time.perf_counter() - t0
-    fps = batch * n_iters / dt
+    stream = make_streaming_forward(apply_fn)
+    slab = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_steps, batch, img, img, 3)),
+        dtype=jnp.bfloat16)
+    fps = measure_fps(stream, slab, n_calls=3)
 
     print(json.dumps({
         "metric": "dfine_nano_640px_inference",
