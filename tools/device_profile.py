@@ -1,0 +1,76 @@
+"""Capture an on-device profile of the D-FINE forward and summarize the
+top XLA ops by device time (parses the xplane proto directly — works
+even when TensorBoard isn't usable)."""
+
+import collections
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def summarize(trace_dir: str, top: int = 30):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")))
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(paths[-1], "rb").read())
+    for p in xs.planes:
+        if "TPU" not in p.name:
+            continue
+        per_line = {}
+        for line in p.lines:
+            total = collections.Counter()
+            for ev in line.events:
+                md = p.event_metadata[ev.metadata_id]
+                total[md.name] += ev.duration_ps / 1e9
+            per_line[line.name] = total
+        ops = per_line.get("XLA Ops", collections.Counter())
+        print(f"== {p.name} | XLA Ops total {sum(ops.values()):.1f} ms")
+        for name, ms in ops.most_common(top):
+            print(f"  {ms:8.2f} ms  {name[:110]}")
+        mods = per_line.get("XLA Modules", collections.Counter())
+        for name, ms in mods.most_common(5):
+            print(f"module {ms:8.2f} ms  {name[:80]}")
+
+
+def main():
+    img = int(sys.argv[1]) if len(sys.argv) > 1 else 640
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    from pautdx.models.vision.dfine import DFine, dfine_nano
+
+    cfg = dfine_nano(num_labels=2)
+    model = DFine(cfg)
+    init_fn = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
+        train=False))
+    variables = init_fn(jax.random.PRNGKey(0))
+    variables = jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, t))(variables)
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, img, img, 3)),
+        dtype=jnp.bfloat16)
+
+    f = jax.jit(lambda v, im, c: model.apply(
+        v, im + c * 0, train=False)["logits"].astype(jnp.float32).mean())
+    c = jnp.zeros((), jnp.bfloat16)
+    c = f(variables, images, c)
+    float(c)
+    trace_dir = "/tmp/pautdx_device_trace"
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(2):
+        c = f(variables, images, c)
+    float(c)
+    jax.profiler.stop_trace()
+    summarize(trace_dir)
+
+
+if __name__ == "__main__":
+    main()
