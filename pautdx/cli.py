@@ -166,6 +166,96 @@ def _cmd_predict_signal(args) -> None:
     print(f"predictions for {len(results)} volumes in {args.out}")
 
 
+def _cmd_predict_bscan(args) -> None:
+    """Folder batch predict on rendered B-scans with a fresh or restored
+    detector (~ `yolo/yolo_folder_eval.py`, `eval_temp_dfine.py`)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pautdx.data.bscan import render_volume_dataset
+    from pautdx.data.volume import parse_json_volume, parse_txt_tree
+    from pautdx.ops import dense_to_detections
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.detector == "yolo":
+        from pautdx.models.vision import YOLO, YoloConfig, decode_boxes
+
+        cfg = YoloConfig(num_classes=args.num_classes, scale=args.scale)
+        model = YOLO(cfg)
+        init = jax.jit(lambda k: model.init(
+            {"params": k}, jnp.zeros((1, args.size, args.size, 3)),
+            train=False))
+        variables = init(jax.random.PRNGKey(0))
+        if args.checkpoint:
+            from pautdx.train import CheckpointManager
+            state, _ = CheckpointManager(args.checkpoint).restore("latest")
+            variables = {"params": state["params"],
+                         "batch_stats": state.get("batch_stats", {})}
+
+        @jax.jit
+        def forward(images):
+            out = model.apply(variables, images, train=False)
+            d = decode_boxes(out, (args.size, args.size), cfg)
+            return dense_to_detections(d, score_threshold=args.threshold,
+                                       top_k=64, max_det=16)
+    else:
+        from pautdx.models.vision.dfine import DFine, dfine_nano, post_process
+
+        cfg = dfine_nano(num_labels=args.num_classes)
+        model = DFine(cfg)
+        init = jax.jit(lambda k: model.init(
+            {"params": k}, jnp.zeros((1, args.size, args.size, 3)),
+            train=False))
+        variables = init(jax.random.PRNGKey(0))
+        if args.checkpoint:
+            from pautdx.train import CheckpointManager
+            state, _ = CheckpointManager(args.checkpoint).restore("latest")
+            variables = {"params": state["params"],
+                         "batch_stats": state.get("batch_stats", {})}
+
+        @jax.jit
+        def forward(images):
+            out = model.apply(variables, images, train=False)
+            return post_process(out["logits"], out["pred_boxes"],
+                                (args.size, args.size),
+                                threshold=args.threshold, max_det=16)
+
+    results = {}
+    for entry in sorted(os.listdir(args.data)):
+        path = os.path.join(args.data, entry)
+        if entry.endswith(".json"):
+            vol = parse_json_volume(path)
+            seq = entry[:-5]
+        elif os.path.isdir(path):
+            vol = parse_txt_tree(args.data, entry)
+            seq = entry
+        else:
+            continue
+        imgs, _ = render_volume_dataset(vol, args.size, args.size)
+        frames = np.repeat(imgs[..., None], 3, axis=-1).astype(np.float32)
+        det = forward(jnp.asarray(frames))
+        seq_out = []
+        for t in range(frames.shape[0]):
+            valid = np.asarray(det["valid"][t])
+            seq_out.append([
+                {"box": [float(v) for v in np.asarray(det["boxes"][t][i])],
+                 "label": int(det["classes"][t][i]),
+                 "score": float(det["scores"][t][i])}
+                for i in np.nonzero(valid)[0]])
+        results[seq] = seq_out
+        if args.overlays:
+            from pautdx.viz import draw_boxes_on_image
+            t_best = int(np.argmax([len(s) for s in seq_out]))
+            boxes = [d["box"] for d in seq_out[t_best]]
+            draw_boxes_on_image(imgs[t_best], boxes,
+                                os.path.join(args.out, f"{seq}_{t_best}.png"),
+                                scores=[d["score"] for d in seq_out[t_best]])
+    with open(os.path.join(args.out, "detections.json"), "w") as f:
+        json.dump(results, f)
+    print(f"detections for {len(results)} sequences in {args.out}")
+
+
 def _cmd_bridge(args) -> None:
     from pautdx.serve import serve_signals
 
@@ -222,6 +312,18 @@ def main(argv=None) -> None:
     pr.add_argument("--out", default="predictions")
     pr.add_argument("--heatmaps", action="store_true")
     pr.set_defaults(fn=_cmd_predict_signal)
+
+    pb = sub.add_parser("predict-bscan")
+    pb.add_argument("--data", required=True)
+    pb.add_argument("--out", default="bscan_predictions")
+    pb.add_argument("--detector", choices=("yolo", "dfine"), default="dfine")
+    pb.add_argument("--checkpoint")
+    pb.add_argument("--size", type=int, default=320)
+    pb.add_argument("--num-classes", type=int, default=2)
+    pb.add_argument("--scale", default="n")
+    pb.add_argument("--threshold", type=float, default=0.3)
+    pb.add_argument("--overlays", action="store_true")
+    pb.set_defaults(fn=_cmd_predict_bscan)
 
     br = sub.add_parser("bridge")
     br.add_argument("--checkpoint", required=True)

@@ -1,0 +1,29 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pautdx import cli
+from pautdx.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw_bscan")
+    spec = synthetic.VolumeSpec(n_beams=5, n_scans=12, n_samples=96, seed=51)
+    synthetic.write_json_volume(str(d / "v.json"), spec)
+    return str(d)
+
+
+@pytest.mark.parametrize("detector", ["yolo", "dfine"])
+def test_predict_bscan_cli(raw_dir, tmp_path, detector):
+    out = str(tmp_path / f"det_{detector}")
+    cli.main(["predict-bscan", "--data", raw_dir, "--out", out,
+              "--detector", detector, "--size", "64",
+              "--threshold", "0.0", "--overlays"])
+    dets = json.load(open(os.path.join(out, "detections.json")))
+    assert "v" in dets and len(dets["v"]) == 12
+    for frame in dets["v"]:
+        for d in frame:
+            assert set(d) == {"box", "label", "score"}
