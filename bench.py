@@ -25,10 +25,15 @@ def main():
     from pautdx.models.vision.dfine import DFine, dfine_nano
     from pautdx.serve.throughput import make_streaming_forward, measure_fps
 
+    import dataclasses
+
     batch = 32
     n_steps = 8
     img = 640
-    cfg = dfine_nano(num_labels=2)
+    # discrete (nearest) deformable sampling: D-FINE's fast decoder mode —
+    # 4x fewer gather taps on TPU at near-identical accuracy
+    cfg = dataclasses.replace(dfine_nano(num_labels=2),
+                              decoder_method="discrete")
     model = DFine(cfg)
 
     # init + bf16 cast under jit; variables stay device-resident

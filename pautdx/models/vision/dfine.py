@@ -67,6 +67,7 @@ class DFineConfig:
     anchor_grid_size: float = 0.05
     backbone: HGNetConfig = HGNetConfig()
     eval_idx: int = -1
+    decoder_method: str = "default"     # default (bilinear) | discrete
 
     @property
     def head_dim(self) -> int:
@@ -407,7 +408,7 @@ class DeformableAttention(nn.Module):
         locations = reference_points[:, :, None, None, :2] + offset
         out = ms_deformable_attention(value_levels, locations,
                                       weights.astype(value_levels[0].dtype),
-                                      pts_list)
+                                      pts_list, method=c.decoder_method)
         return out.astype(hidden.dtype)
 
 

@@ -78,13 +78,46 @@ def bilinear_sample_nhwc(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     return out.reshape((B,) + batch_shape + (C,))
 
 
+def nearest_sample_nhwc(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Nearest-neighbour sampling — HF D-FINE's ``discrete`` decoder mode
+    (`multi_scale_deformable_attention_v2` method="discrete"): coordinates
+    ``(x_norm * W + 0.5)`` floored and clamped. One tap per point: 4x fewer
+    gather rows than bilinear — the fast serving mode on TPU.
+
+    Takes the same center-aligned pixel coords as bilinear_sample_nhwc
+    (x = x_norm * W - 0.5), so +1.0 recovers the discrete convention.
+    """
+    B, H, W, C = value.shape
+    batch_shape = x.shape[1:]
+    n = 1
+    for s in batch_shape:
+        n *= s
+    xi = jnp.clip((x + 1.0).astype(jnp.int32), 0, W - 1).reshape(B, n)
+    yi = jnp.clip((y + 1.0).astype(jnp.int32), 0, H - 1).reshape(B, n)
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, n))
+    starts = jnp.stack([b_idx, yi, xi], axis=-1).reshape(B * n, 3)
+    rows = jax.lax.gather(
+        value, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0, 1, 2),
+            start_index_map=(0, 1, 2)),
+        slice_sizes=(1, 1, 1, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return rows.reshape((B,) + batch_shape + (C,))
+
+
 def ms_deformable_attention(value_levels: List[jnp.ndarray],
                             sampling_locations: jnp.ndarray,
                             attention_weights: jnp.ndarray,
-                            num_points_list: Sequence[int]) -> jnp.ndarray:
+                            num_points_list: Sequence[int],
+                            method: str = "default") -> jnp.ndarray:
     """value_levels: list of (B, H_l, W_l, n_heads, head_dim);
     sampling_locations: (B, Q, n_heads, sum_points, 2) normalized [0, 1];
     attention_weights: (B, Q, n_heads, sum_points) softmaxed.
+    method: "default" (bilinear) | "discrete" (nearest, 4x fewer taps).
     Returns (B, Q, n_heads * head_dim).
     """
     B, Q, n_heads, total_points, _ = sampling_locations.shape
@@ -100,7 +133,9 @@ def ms_deformable_attention(value_levels: List[jnp.ndarray],
         loc_bh = jnp.moveaxis(loc, 2, 1).reshape(B * n_heads, Q, P, 2)
         x = loc_bh[..., 0] * W - 0.5
         y = loc_bh[..., 1] * H - 0.5
-        s = bilinear_sample_nhwc(v, x, y)            # (B*h, Q, P, d)
+        sample = (nearest_sample_nhwc if method == "discrete"
+                  else bilinear_sample_nhwc)
+        s = sample(v, x, y)                          # (B*h, Q, P, d)
         s = jnp.moveaxis(s.reshape(B, n_heads, Q, P, head_dim), 1, 2)
         sampled.append(s)                            # (B, Q, h, P, d)
         offset += P

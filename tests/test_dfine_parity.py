@@ -125,6 +125,45 @@ def test_backbone_parity(models):
         np.testing.assert_allclose(j, t, atol=1e-4, rtol=1e-3)
 
 
+def test_discrete_sampling_parity():
+    """The 'discrete' (nearest) deformable mode matches HF's discrete path."""
+    import dataclasses
+    import torch as _torch
+    from transformers.models.d_fine.modeling_d_fine import (
+        DFineForObjectDetection,
+    )
+    from pautdx.compat.dfine_import import (
+        convert_state_dict, load_torch_model_state,
+    )
+    hf_cfg, my_cfg = _small_hf_configs()
+    hf_cfg.decoder_method = "discrete"
+    my_cfg = dataclasses.replace(my_cfg, decoder_method="discrete")
+    _torch.manual_seed(0)
+    tm = DFineForObjectDetection(hf_cfg).eval()
+    g = _torch.Generator().manual_seed(1)
+    with _torch.no_grad():
+        for p_ in tm.parameters():
+            p_.uniform_(-0.15, 0.15, generator=g)
+    jm = DFine(my_cfg)
+    x = np.random.default_rng(3).normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    target = jm.init({"params": jax.random.PRNGKey(0)},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    variables, _ = convert_state_dict(load_torch_model_state(tm), target)
+    with _torch.no_grad():
+        tout = tm(_torch.from_numpy(x))
+    jout = jm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                    train=False)
+    from scipy.optimize import linear_sum_assignment
+    ft = np.concatenate([tout.pred_boxes.numpy(),
+                         1 / (1 + np.exp(-tout.logits.numpy()))], -1)[0]
+    fj = np.concatenate([np.asarray(jout["pred_boxes"]),
+                         1 / (1 + np.exp(-np.asarray(jout["logits"])))], -1)[0]
+    cost = np.linalg.norm(ft[:, None] - fj[None], axis=-1)
+    r, c_idx = linear_sum_assignment(cost)
+    matched = cost[r, c_idx]
+    assert (matched < 2e-3).sum() >= matched.shape[0] - 4, np.sort(matched)[-6:]
+
+
 def test_full_model_parity(models):
     tm, jm, variables, x, unused = models
     # only denoising / buffer keys may go unused
