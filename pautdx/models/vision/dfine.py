@@ -78,13 +78,18 @@ class DFineConfig:
         return [self.decoder_n_points] * self.num_feature_levels
 
 
-def dfine_nano(num_labels: int = 2) -> DFineConfig:
-    """Small preset in the spirit of D-FINE-N: shallow decoder, slim dims."""
+def dfine_nano(num_labels: int = 2, tpu_stem: bool = True) -> DFineConfig:
+    """Small preset in the spirit of D-FINE-N: shallow decoder, slim dims.
+
+    pautdx-native preset (no HF checkpoint to match), so the backbone uses
+    the TPU-friendly patchify stem by default; pass ``tpu_stem=False`` for
+    the HGNet dual-path stem.
+    """
     return DFineConfig(
         num_labels=num_labels, d_model=128, encoder_hidden_dim=128,
         decoder_layers=3, decoder_ffn_dim=512, encoder_ffn_dim=512,
         num_queries=300,
-        backbone=HGNetConfig(),
+        backbone=HGNetConfig(stem="patchify" if tpu_stem else "hgnet"),
     )
 
 

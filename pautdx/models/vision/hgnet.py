@@ -33,6 +33,11 @@ class HGNetConfig:
     stage_kernel_size: Tuple[int, ...] = (3, 3, 5, 5)
     use_learnable_affine_block: bool = True
     out_indices: Tuple[int, ...] = (1, 2, 3)      # stages feeding the neck
+    # "hgnet": the reference dual-path stem (checkpoint parity).
+    # "patchify": single k4/s4 conv — TPU-friendly (no 2x2 VALID convs,
+    # no stride-1 maxpool, no layout churn at full resolution); for
+    # pautdx-native presets only.
+    stem: str = "hgnet"
 
     @property
     def out_channels(self) -> List[int]:
@@ -168,6 +173,19 @@ class Stage(nn.Module):
         return x
 
 
+class PatchifyStem(nn.Module):
+    """k4/s4 patchify stem to /4 resolution — MXU/lane-friendly."""
+
+    cfg: HGNetConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.cfg.stem_channels[2], (4, 4), strides=(4, 4),
+                    use_bias=False, name="proj")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
+        return nn.relu(x)
+
+
 class HGNetV2(nn.Module):
     """Returns the feature maps of ``cfg.out_indices`` stages (NHWC)."""
 
@@ -175,7 +193,10 @@ class HGNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
-        x = Embeddings(self.cfg, name="embedder")(x, train)
+        if self.cfg.stem == "patchify":
+            x = PatchifyStem(self.cfg, name="patch_embedder")(x, train)
+        else:
+            x = Embeddings(self.cfg, name="embedder")(x, train)
         feats = []
         for i in range(len(self.cfg.stage_in_channels)):
             x = Stage(self.cfg, i, name=f"encoder.stages.{i}")(x, train)
