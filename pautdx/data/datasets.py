@@ -27,12 +27,16 @@ from pautdx.data.volume import ParsedVolume, parse_json_volume
 
 @dataclasses.dataclass
 class SignalSequences:
-    """Windowed signal sequences: signals (N,L,S), labels (N,L), positions (N,L,2)."""
+    """Windowed signal sequences: signals (N,L,S), labels (N,L), positions
+    (N,L,2). ``class_labels`` (N,L) carries multiclass ids (0 = Health,
+    i+1 = label_names[i]) for the multiclass detectors; binary ``labels``
+    stay the default contract."""
 
     signals: np.ndarray
     labels: np.ndarray
     positions: np.ndarray
     label_names: List[str] = dataclasses.field(default_factory=list)
+    class_labels: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return self.signals.shape[0]
@@ -41,7 +45,13 @@ class SignalSequences:
         return SignalSequences(
             self.signals[idx], self.labels[idx], self.positions[idx],
             self.label_names,
+            None if self.class_labels is None else self.class_labels[idx],
         )
+
+    @property
+    def num_classes(self) -> int:
+        """Health + defect types (the reference's label_map contract)."""
+        return len(self.label_names) + 1
 
     @staticmethod
     def concatenate(parts: Sequence["SignalSequences"]) -> "SignalSequences":
@@ -53,11 +63,22 @@ class SignalSequences:
                 np.zeros((0, 0, 2), np.float32),
             )
         names = sorted({n for p in parts for n in p.label_names})
+        class_labels = None
+        if all(p.class_labels is not None for p in parts):
+            # re-map each part's ids onto the merged name list
+            remapped = []
+            for p in parts:
+                lut = np.zeros(len(p.label_names) + 1, np.int32)
+                for i, n in enumerate(p.label_names):
+                    lut[i + 1] = names.index(n) + 1
+                remapped.append(lut[p.class_labels])
+            class_labels = np.concatenate(remapped)
         return SignalSequences(
             np.concatenate([p.signals for p in parts]),
             np.concatenate([p.labels for p in parts]),
             np.concatenate([p.positions for p in parts]),
             names,
+            class_labels,
         )
 
 
@@ -68,7 +89,8 @@ def sequences_from_volume(vol: ParsedVolume, seq_len: int = 50,
     Binary labels (Health=0 / defect=1) and normalized defect (start, end)
     with the (0, 0) healthy fallback — `json_dataset.py:69-79`.
     """
-    seqs, labs, poss, names = [], [], [], set()
+    seqs, labs, poss, cls_names = [], [], [], []
+    names = set()
     win_fn = windowing.overlapping_windows if overlap else windowing.chunked_windows
     for bk in vol.beam_keys:
         sig = vol.signals[bk]
@@ -78,6 +100,8 @@ def sequences_from_volume(vol: ParsedVolume, seq_len: int = 50,
             seqs.append(sig[a:b])
             labs.append([infos[j].binary_label for j in range(a, b)])
             poss.append([list(infos[j].position) for j in range(a, b)])
+            cls_names.append([infos[j].label if infos[j].is_defect else None
+                              for j in range(a, b)])
             for j in range(a, b):
                 if infos[j].is_defect:
                     names.add(infos[j].label)
@@ -92,11 +116,17 @@ def sequences_from_volume(vol: ParsedVolume, seq_len: int = 50,
     lens = [s.shape[1] for s in seqs]
     mode = max(set(lens), key=lens.count)
     keep = [i for i, l in enumerate(lens) if l == mode]
+    sorted_names = sorted(names)
+    name_to_id = {n: i + 1 for i, n in enumerate(sorted_names)}
+    class_labels = np.asarray(
+        [[name_to_id.get(c, 0) for c in cls_names[i]] for i in keep],
+        np.int32)
     return SignalSequences(
         np.stack([seqs[i] for i in keep]).astype(np.float32),
         np.asarray([labs[i] for i in keep], np.float32),
         np.asarray([poss[i] for i in keep], np.float32),
-        sorted(names),
+        sorted_names,
+        class_labels,
     )
 
 
@@ -190,6 +220,8 @@ class BatchIterator:
                 "positions": self.ds.positions[idx],
                 "sample_mask": mask,
             }
+            if self.ds.class_labels is not None:
+                batch["class_labels"] = self.ds.class_labels[idx]
             if self.augment is not None:
                 batch = self.augment(batch, self._rng)
             yield batch
