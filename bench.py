@@ -27,7 +27,7 @@ def main():
 
     import dataclasses
 
-    batch = 32
+    batch = 64
     n_steps = 8
     img = 640
     # discrete (nearest) deformable sampling: D-FINE's fast decoder mode —
