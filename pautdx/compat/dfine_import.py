@@ -87,9 +87,12 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray],
             missing.append(path)
             new_stats[path] = np.asarray(v)
 
-    if missing:
-        raise KeyError(f"{len(missing)} target leaves had no torch source, "
-                       f"e.g. {missing[:8]}")
+    # modules that may legitimately be absent in the torch source (e.g.
+    # denoising embeddings when the checkpoint trained with num_denoising=0)
+    hard_missing = [m for m in missing if "denoising" not in m]
+    if hard_missing:
+        raise KeyError(f"{len(hard_missing)} target leaves had no torch "
+                       f"source, e.g. {hard_missing[:8]}")
 
     def build(tree: Dict, flat: Dict[str, Any],
               prefix: Tuple[str, ...] = ()) -> Dict:

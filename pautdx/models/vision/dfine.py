@@ -468,7 +468,13 @@ class DFine(nn.Module):
         return jnp.asarray(anchors), jnp.asarray(valid.astype(np.float32))
 
     @nn.compact
-    def __call__(self, images, train: bool = False) -> Dict[str, Any]:
+    def __call__(self, images, train: bool = False,
+                 denoising: Optional[Dict[str, jnp.ndarray]] = None
+                 ) -> Dict[str, Any]:
+        """``denoising`` (training only): the static-shape contrastive
+        denoising group from ``pautdx.losses.denoising`` — class_ids (B, D),
+        box_logits (B, D, 4), attn_mask (D+Q, D+Q). Denoising queries are
+        prepended; outputs carry ``dn_split`` so the criterion can slice."""
         c = self.cfg
         feats = HGNetV2(c.backbone, name="model.backbone.model")(images, train)
         proj = []
@@ -504,6 +510,24 @@ class DFine(nn.Module):
         target = jax.lax.stop_gradient(take(out_mem))
         init_ref = jax.lax.stop_gradient(ref_unact)
 
+        # contrastive denoising queries (the embedding always exists so the
+        # param tree never depends on call arguments)
+        dn_embed = nn.Embed(c.num_labels + 1, c.d_model,
+                            name="model.denoising_class_embed")
+        attn_mask = None
+        dn_split = 0
+        if denoising is not None:
+            dn_target = dn_embed(denoising["class_ids"]).astype(target.dtype)
+            target = jnp.concatenate([dn_target, target], axis=1)
+            init_ref = jnp.concatenate(
+                [denoising["box_logits"].astype(init_ref.dtype), init_ref],
+                axis=1)
+            attn_mask = denoising["attn_mask"][None, None]
+            dn_split = denoising["class_ids"].shape[1]
+        else:
+            # touch the embedding so flax registers its params on init
+            _ = dn_embed(jnp.zeros((1,), jnp.int32))
+
         # decoder with FDR
         n_heads = c.decoder_attention_heads
         value_levels = [
@@ -527,7 +551,7 @@ class DFine(nn.Module):
             pos = jnp.clip(query_pos_head(ref_detach), -10.0, 10.0)
             pos = pos.astype(hidden.dtype)          # back to feature dtype
             hidden = DecoderLayer(c, name=f"model.decoder.layers.{i}")(
-                hidden, pos, value_levels, ref_detach, train)
+                hidden, pos, value_levels, ref_detach, train, attn_mask)
             if i == 0:
                 new_ref = nn.sigmoid(
                     MLPHead(c.d_model, 4, 3,
@@ -557,6 +581,31 @@ class DFine(nn.Module):
             out_corners.append(pred_corners)
             out_refs.append(ref_points_initial)
 
+        if dn_split:
+            # split denoising predictions off every collected head
+            def split(t):
+                return t[:, :dn_split], t[:, dn_split:]
+            dn_logits = [split(t)[0] for t in out_logits]
+            dn_boxes = [split(t)[0] for t in out_boxes]
+            out_logits = [split(t)[1] for t in out_logits]
+            out_boxes = [split(t)[1] for t in out_boxes]
+            out_corners = [split(t)[1] for t in out_corners]
+            out_refs = [split(t)[1] for t in out_refs]
+            hidden = hidden[:, dn_split:]
+            return {
+                "logits": out_logits[eval_idx + 1],
+                "pred_boxes": out_boxes[eval_idx + 1],
+                "last_hidden_state": hidden,
+                "intermediate_logits": out_logits,
+                "intermediate_boxes": out_boxes,
+                "intermediate_corners": out_corners,
+                "initial_references": out_refs,
+                "dn_logits": dn_logits,
+                "dn_boxes": dn_boxes,
+                "enc_topk_logits": enc_topk_logits,
+                "enc_topk_bboxes": enc_topk_bboxes,
+                "project": project,
+            }
         return {
             "logits": out_logits[eval_idx + 1],
             "pred_boxes": out_boxes[eval_idx + 1],
