@@ -166,6 +166,85 @@ def _cmd_predict_signal(args) -> None:
     print(f"predictions for {len(results)} volumes in {args.out}")
 
 
+def _cmd_train_bscan(args) -> None:
+    """Train a B-scan detector (YOLO or D-FINE) from raw volumes
+    (~ `yolo5s_retrain.py` / the temporal_dfine training loops)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pautdx.data.augment_vision import augment_detection_batch
+    from pautdx.data.vision import batch_frames, detection_frames_from_volume, split_frames
+    from pautdx.data.volume import parse_json_volume, parse_txt_tree
+    from pautdx.train import Trainer, make_optimizer
+
+    frames_list = []
+    for entry in sorted(os.listdir(args.data)):
+        path = os.path.join(args.data, entry)
+        if entry.endswith(".json"):
+            vol = parse_json_volume(path)
+        elif os.path.isdir(path):
+            vol = parse_txt_tree(args.data, entry)
+        else:
+            continue
+        frames_list.extend(split_frames(detection_frames_from_volume(
+            vol, out_size=args.size, max_boxes=args.max_boxes)))
+    print(f"{len(frames_list)} frames")
+    rng = np.random.default_rng(0)
+
+    if args.detector == "yolo":
+        from pautdx.losses.yolo import yolo_loss
+        from pautdx.models.vision import YOLO, YoloConfig
+
+        cfg = YoloConfig(num_classes=args.num_classes, scale=args.scale)
+        model = YOLO(cfg)
+
+        def objective(out, batch):
+            return yolo_loss(out, batch["boxes"], batch["classes"],
+                             batch["mask"], cfg, (args.size, args.size))
+    else:
+        from pautdx.losses.detr import dfine_criterion
+        from pautdx.models.vision.dfine import DFine, dfine_nano
+
+        cfg = dfine_nano(num_labels=args.num_classes)
+        model = DFine(cfg)
+
+        def objective(out, batch):
+            boxes = batch["boxes"] / args.size
+            cx = (boxes[..., 0] + boxes[..., 2]) / 2
+            cy = (boxes[..., 1] + boxes[..., 3]) / 2
+            w = boxes[..., 2] - boxes[..., 0]
+            h = boxes[..., 3] - boxes[..., 1]
+            cxcywh = jnp.stack([cx, cy, w, h], -1)
+            return dfine_criterion(out, cxcywh, batch["classes"],
+                                   batch["mask"], cfg.num_labels,
+                                   cfg.max_num_bins)
+
+    def batches():
+        order = rng.permutation(len(frames_list))
+        bs = args.batch_size
+        for i in range(len(frames_list) // bs):
+            batch = batch_frames(frames_list, order[i * bs:(i + 1) * bs])
+            if args.augment:
+                batch = augment_detection_batch(batch, rng)
+            yield batch
+
+    trainer = Trainer(model, objective, make_optimizer(args.lr),
+                      checkpoint_dir=args.out, input_key="images")
+    state = trainer.init(next(iter(batches())))
+    for epoch in range(args.epochs):
+        state, metrics = trainer.train_epoch(state, batches())
+        print(f"[epoch {epoch}] " + " ".join(
+            f"{k}={v:.4f}" for k, v in metrics.items()))
+        trainer.ckpt.save(epoch, jax.device_get(state),
+                          metadata={"detector": args.detector,
+                                    "num_classes": args.num_classes,
+                                    "size": args.size},
+                          history={k: [v] for k, v in metrics.items()},
+                          is_best=True)
+    print(f"checkpoints in {args.out}")
+
+
 def _cmd_predict_bscan(args) -> None:
     """Folder batch predict on rendered B-scans with a fresh or restored
     detector (~ `yolo/yolo_folder_eval.py`, `eval_temp_dfine.py`)."""
@@ -312,6 +391,20 @@ def main(argv=None) -> None:
     pr.add_argument("--out", default="predictions")
     pr.add_argument("--heatmaps", action="store_true")
     pr.set_defaults(fn=_cmd_predict_signal)
+
+    tb = sub.add_parser("train-bscan")
+    tb.add_argument("--data", required=True)
+    tb.add_argument("--out", required=True)
+    tb.add_argument("--detector", choices=("yolo", "dfine"), default="yolo")
+    tb.add_argument("--size", type=int, default=320)
+    tb.add_argument("--num-classes", type=int, default=1)
+    tb.add_argument("--scale", default="n")
+    tb.add_argument("--max-boxes", type=int, default=8)
+    tb.add_argument("--batch-size", type=int, default=8)
+    tb.add_argument("--epochs", type=int, default=10)
+    tb.add_argument("--lr", type=float, default=1e-3)
+    tb.add_argument("--augment", action="store_true")
+    tb.set_defaults(fn=_cmd_train_bscan)
 
     pb = sub.add_parser("predict-bscan")
     pb.add_argument("--data", required=True)

@@ -27,3 +27,14 @@ def test_predict_bscan_cli(raw_dir, tmp_path, detector):
     for frame in dets["v"]:
         for d in frame:
             assert set(d) == {"box", "label", "score"}
+
+
+@pytest.mark.parametrize("detector", ["yolo"])
+def test_train_bscan_cli(raw_dir, tmp_path, detector):
+    out = str(tmp_path / f"train_{detector}")
+    cli.main(["train-bscan", "--data", raw_dir, "--out", out,
+              "--detector", detector, "--size", "64", "--epochs", "1",
+              "--batch-size", "4", "--augment"])
+    assert os.path.exists(os.path.join(out, "metadata.json"))
+    meta = json.load(open(os.path.join(out, "metadata.json")))
+    assert meta["detector"] == detector
