@@ -22,6 +22,14 @@ import jax.numpy as jnp
 
 
 def main():
+    # persistent compile cache: repeat bench runs skip the (minutes-long)
+    # remote compiles when the backend supports it
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/pautdx_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from pautdx.models.vision.dfine import DFine, dfine_nano
     from pautdx.serve.throughput import make_streaming_forward, measure_fps
 

@@ -9,3 +9,4 @@ from pautdx.data.datasets import (  # noqa: F401
     sequences_from_volume, train_val_split,
 )
 from pautdx.data.prefetch import device_prefetch, prefetch_to_device  # noqa: F401
+from pautdx.data.summary import summarize_collection  # noqa: F401
