@@ -335,6 +335,108 @@ def _cmd_predict_bscan(args) -> None:
     print(f"detections for {len(results)} sequences in {args.out}")
 
 
+def _cmd_train_temporal(args) -> None:
+    """Train a temporal D-FINE over B-scan sequences
+    (~ `temporal_dfine.py:249-314`: frozen trunk, per-frame Hungarian loss,
+    anomaly consistency for v3)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pautdx.data.vision import detection_frames_from_volume, sequence_chunks
+    from pautdx.data.volume import parse_json_volume, parse_txt_tree
+    from pautdx.losses.detr import dfine_criterion
+    from pautdx.models.vision.dfine import DFineConfig, dfine_nano
+    from pautdx.models.vision.hgnet import HGNetConfig
+    from pautdx.models.vision.temporal_dfine import (
+        TemporalDFine, temporal_consistency_loss,
+    )
+    from pautdx.train import CheckpointManager
+
+    if args.tiny:
+        cfg = DFineConfig(
+            num_labels=args.num_classes, d_model=64, encoder_hidden_dim=64,
+            decoder_layers=2, decoder_attention_heads=4,
+            encoder_attention_heads=4, decoder_ffn_dim=128,
+            encoder_ffn_dim=128, num_queries=20, max_num_bins=16,
+            hidden_expansion=0.5,
+            backbone=HGNetConfig(
+                stem_channels=(3, 8, 8), stage_in_channels=(8, 16, 32, 64),
+                stage_mid_channels=(8, 8, 16, 32),
+                stage_out_channels=(16, 32, 64, 128),
+                stage_num_blocks=(1, 1, 1, 1), stage_num_layers=(1, 1, 2, 2)))
+    else:
+        cfg = dfine_nano(num_labels=args.num_classes)
+    model = TemporalDFine(cfg, variant=args.variant,
+                          num_temporal_layers=args.temporal_layers,
+                          temporal_heads=4 if args.tiny else 8)
+
+    chunks = []
+    for entry in sorted(os.listdir(args.data)):
+        path = os.path.join(args.data, entry)
+        if entry.endswith(".json"):
+            vol = parse_json_volume(path)
+        elif os.path.isdir(path):
+            vol = parse_txt_tree(args.data, entry)
+        else:
+            continue
+        frames = detection_frames_from_volume(vol, out_size=args.size,
+                                              max_boxes=args.max_boxes)
+        chunks.extend(sequence_chunks(frames, seq_len=args.seq_len))
+    print(f"{len(chunks)} sequences of {args.seq_len} frames")
+
+    c0 = chunks[0]
+    x0 = jnp.asarray(c0.images)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+    params, bstats = variables["params"], variables["batch_stats"]
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    opt_state = opt.init(params)
+
+    def loss_fn(p, images, gt_boxes, gt_classes, gt_mask):
+        out = model.apply({"params": p, "batch_stats": bstats}, images,
+                          train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        head_out = {
+            "intermediate_logits": [out["logits"]],
+            "intermediate_boxes": [out["pred_boxes"]],
+            "intermediate_corners": [],
+            "initial_references": [],
+            "enc_topk_logits": out["logits"],
+            "enc_topk_bboxes": out["pred_boxes"],
+        }
+        loss, _ = dfine_criterion(head_out, gt_boxes, gt_classes, gt_mask,
+                                  cfg.num_labels, cfg.max_num_bins)
+        if args.variant == "v3":
+            loss = loss + 0.1 * temporal_consistency_loss(out["anomaly"])
+        return loss
+
+    @jax.jit
+    def step(p, opt_state, images, gt_boxes, gt_classes, gt_mask):
+        loss, grads = jax.value_and_grad(loss_fn)(p, images, gt_boxes,
+                                                  gt_classes, gt_mask)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    ckpt = CheckpointManager(args.out)
+    for epoch in range(args.epochs):
+        losses = []
+        for chunk in chunks:
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(chunk.images),
+                jnp.asarray(chunk.normalized_cxcywh()),
+                jnp.asarray(chunk.classes), jnp.asarray(chunk.mask))
+            losses.append(float(loss))
+        mean_loss = float(np.mean(losses))
+        print(f"[epoch {epoch}] loss={mean_loss:.4f}")
+        ckpt.save(epoch, jax.device_get({"params": params,
+                                         "batch_stats": bstats}),
+                  metadata={"variant": args.variant, "seq_len": args.seq_len,
+                            "num_classes": args.num_classes,
+                            "size": args.size},
+                  history={"loss": losses}, is_best=True)
+    print(f"checkpoints in {args.out}")
+
+
 def _cmd_bridge(args) -> None:
     from pautdx.serve import serve_signals
 
@@ -417,6 +519,21 @@ def main(argv=None) -> None:
     pb.add_argument("--threshold", type=float, default=0.3)
     pb.add_argument("--overlays", action="store_true")
     pb.set_defaults(fn=_cmd_predict_bscan)
+
+    tt = sub.add_parser("train-temporal")
+    tt.add_argument("--data", required=True)
+    tt.add_argument("--out", required=True)
+    tt.add_argument("--variant", choices=("v1", "v2", "v3"), default="v3")
+    tt.add_argument("--size", type=int, default=320)
+    tt.add_argument("--seq-len", type=int, default=50)
+    tt.add_argument("--num-classes", type=int, default=2)
+    tt.add_argument("--max-boxes", type=int, default=8)
+    tt.add_argument("--temporal-layers", type=int, default=4)
+    tt.add_argument("--epochs", type=int, default=3)
+    tt.add_argument("--lr", type=float, default=1e-5)
+    tt.add_argument("--tiny", action="store_true",
+                    help="tiny trunk (tests / smoke runs)")
+    tt.set_defaults(fn=_cmd_train_temporal)
 
     br = sub.add_parser("bridge")
     br.add_argument("--checkpoint", required=True)

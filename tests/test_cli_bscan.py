@@ -38,3 +38,13 @@ def test_train_bscan_cli(raw_dir, tmp_path, detector):
     assert os.path.exists(os.path.join(out, "metadata.json"))
     meta = json.load(open(os.path.join(out, "metadata.json")))
     assert meta["detector"] == detector
+
+
+def test_train_temporal_cli(raw_dir, tmp_path):
+    out = str(tmp_path / "temporal")
+    cli.main(["train-temporal", "--data", raw_dir, "--out", out,
+              "--variant", "v3", "--size", "64", "--seq-len", "4",
+              "--epochs", "1", "--temporal-layers", "1", "--tiny",
+              "--lr", "1e-4"])
+    meta = json.load(open(os.path.join(out, "metadata.json")))
+    assert meta["variant"] == "v3" and meta["seq_len"] == 4
