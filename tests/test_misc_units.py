@@ -1,0 +1,70 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pautdx.eval.map import average_precision
+from pautdx.losses.yolo import _dfl_loss
+from pautdx.models.vision.yolo import YoloConfig, dfl_expectation
+from pautdx.train.optim import ReduceLROnPlateau, cosine_schedule, ema_update
+from pautdx.utils.autogates import gate_mask
+
+
+def test_dfl_expectation_matches_argmax_for_peaked_logits():
+    reg_max = 8
+    logits = np.full((1, 4 * reg_max), -20.0, np.float32)
+    # side 0 peaked at bin 3, side 1 at bin 5
+    logits[0, 3] = 20.0
+    logits[0, reg_max + 5] = 20.0
+    e = np.asarray(dfl_expectation(jnp.asarray(logits), reg_max))
+    assert abs(e[0, 0] - 3.0) < 1e-3
+    assert abs(e[0, 1] - 5.0) < 1e-3
+
+
+def test_dfl_loss_zero_for_perfect_distribution():
+    reg_max = 8
+    target = jnp.asarray([[2.0, 3.0, 4.0, 5.0]])
+    logits = np.full((1, 4 * reg_max), -30.0, np.float32)
+    for side, t in enumerate([2, 3, 4, 5]):
+        logits[0, side * reg_max + t] = 30.0
+    loss = float(_dfl_loss(jnp.asarray(logits), target, reg_max)[0])
+    assert loss < 1e-3
+    # off-target distribution costs more
+    bad = np.roll(logits.reshape(4, reg_max), 2, axis=1).reshape(1, -1)
+    assert float(_dfl_loss(jnp.asarray(bad), target, reg_max)[0]) > 1.0
+
+
+def test_average_precision_edges():
+    assert average_precision(np.asarray([1.0]), np.asarray([1.0])) > 0.99
+    assert average_precision(np.asarray([0.0]), np.asarray([0.0])) < 0.02
+
+
+def test_ema_and_schedules():
+    p = {"w": jnp.ones((2,))}
+    e = {"w": jnp.zeros((2,))}
+    out = ema_update(e, p, decay=0.9)
+    assert np.allclose(out["w"], 0.1)
+    s = cosine_schedule(1e-3, total_steps=100, warmup_steps=10)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1e-3) < 1e-9
+    assert float(s(100)) < 1e-3
+
+    pl = ReduceLROnPlateau(factor=0.5, patience=1)
+    assert pl.step(1.0) == 1.0     # first epoch = best
+    assert pl.step(1.0) == 1.0     # bad 1 (<= patience)
+    assert pl.step(1.0) == 0.5     # bad 2 -> reduce
+    assert pl.step(0.5) == 0.5     # improved -> hold
+
+
+def test_gate_mask_zeroes_outside():
+    sig = jnp.ones((2, 10))
+    out = np.asarray(gate_mask(sig, jnp.asarray(3), jnp.asarray(7)))
+    assert out[:, 3:7].sum() == 8
+    assert out[:, :3].sum() == 0 and out[:, 7:].sum() == 0
+
+
+def test_yolo_config_scales():
+    n = YoloConfig(scale="n")
+    s = YoloConfig(scale="s")
+    assert n.width(64) == 16 and s.width(64) == 32
+    assert n.depth(3) == 1 and YoloConfig(scale="m").depth(3) == 2
