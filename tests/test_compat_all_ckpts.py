@@ -35,3 +35,61 @@ def test_import_every_msc_checkpoint(path):
         size=(1, 6, signal_length)).astype(np.float32) * 3)
     out2 = np.asarray(model.apply(variables, x2, train=False))
     assert (not np.allclose(out, out2)) or (out.max() < 0.01)
+
+
+ONNX_CKPTS = sorted(glob.glob("/root/reference/signals/*.onnx"))
+
+
+@pytest.mark.skipif(not ONNX_CKPTS, reason="reference onnx unavailable")
+@pytest.mark.parametrize("path", ONNX_CKPTS,
+                         ids=[os.path.basename(p) for p in ONNX_CKPTS])
+def test_import_onnx_checkpoints(path):
+    """BASELINE config 2: the `.onnx` artifacts load through the
+    dependency-free protobuf walker and run through the flax MSC."""
+    from pautdx.compat.onnx_import import import_msc_onnx
+
+    variables = import_msc_onnx(path)
+    signal_length = variables["params"]["embed"]["Dense_0"]["kernel"].shape[0]
+    model = MultiSignalClassifier(hidden=(128, 64, 32), num_heads=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 5, signal_length)).astype(np.float32))
+    out = np.asarray(model.apply(variables, x, train=False))
+    assert out.shape == (1, 5)
+    assert np.isfinite(out).all()
+    assert (out >= 0).all() and (out <= 1).all()
+
+
+@pytest.mark.skipif(not os.path.exists(
+    "/root/reference/signals/MultiSignalClassifier4_dynamic.onnx"),
+    reason="reference onnx unavailable")
+def test_onnx_weights_consistent_with_numpy_oracle():
+    """ONNX import == independent numpy math on the raw ONNX tensors."""
+    from pautdx.compat.onnx_import import (
+        import_msc_onnx, load_onnx_initializers,
+    )
+    path = "/root/reference/signals/MultiSignalClassifier4_dynamic.onnx"
+    w = load_onnx_initializers(path)
+    variables = import_msc_onnx(path)
+    model = MultiSignalClassifier(hidden=(128, 64, 32), num_heads=4)
+    S = w["shared_layer.0.weight"].shape[1]
+    x = np.random.default_rng(1).normal(size=(1, 4, S)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    # reconstruct a torch-layout state dict and reuse the .pth oracle
+    from tests.test_compat_torch import numpy_msc_forward
+    sd = {
+        "shared_layer.0.weight": w["shared_layer.0.weight"],
+        "shared_layer.0.bias": w["shared_layer.0.bias"],
+        "shared_layer.2.weight": w["shared_layer.2.weight"],
+        "shared_layer.2.bias": w["shared_layer.2.bias"],
+        "attention.in_proj_weight": w["onnx::MatMul_128"].T,
+        "attention.in_proj_bias": w["attention.in_proj_bias"],
+        "attention.out_proj.weight": w["attention.out_proj.weight"],
+        "attention.out_proj.bias": w["attention.out_proj.bias"],
+        "classifier.0.weight": w["onnx::MatMul_129"].T,
+        "classifier.0.bias": w["classifier.0.bias"],
+        "classifier.2.weight": w["onnx::MatMul_130"].T,
+        "classifier.2.bias": w["classifier.2.bias"],
+    }
+    expected = numpy_msc_forward(sd, x)
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
