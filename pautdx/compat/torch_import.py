@@ -109,3 +109,33 @@ def import_msc(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         },
     }
     return {"params": params}
+
+
+def import_set_transformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """`signals/set_transformer_model.pth` -> variables for
+    ``pautdx.models.signal.SetTransformer`` (encoder.0 Linear, encoder.2/3
+    attention blocks with post-norm, decoder MLP head)."""
+    params = {
+        "embed": linear(sd, "encoder.0"),
+        "mab_0": mha_to_tiny(sd, "encoder.2.attention"),
+        "norm_0": layernorm(sd, "encoder.2.layer_norm"),
+        "mab_1": mha_to_tiny(sd, "encoder.3.attention"),
+        "norm_1": layernorm(sd, "encoder.3.layer_norm"),
+        "head": {
+            "Dense_0": linear(sd, "decoder.0"),
+            "Dense_1": linear(sd, "decoder.2"),
+        },
+    }
+    return {"params": params}
+
+
+def import_mlp_classifier(sd: Dict[str, np.ndarray],
+                          prefix: str = "shared_layer") -> Dict[str, Any]:
+    """Sequential Linear/ReLU stacks (`signal_classifier_model2.pth`
+    prefix "shared_layer", `anomaly_detector_model.pth` prefix "network")
+    -> variables for ``SignalClassifierMLP``."""
+    idxs = sorted({int(k.split(".")[1]) for k in sd
+                   if k.startswith(prefix + ".") and k.endswith(".weight")})
+    mlp = {f"Dense_{i}": linear(sd, f"{prefix}.{j}")
+           for i, j in enumerate(idxs)}
+    return {"params": {"mlp": mlp}}

@@ -93,3 +93,49 @@ def test_onnx_weights_consistent_with_numpy_oracle():
     }
     expected = numpy_msc_forward(sd, x)
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(
+    "/root/reference/signals/set_transformer_model.pth"),
+    reason="reference checkpoints unavailable")
+def test_import_set_transformer():
+    from pautdx.compat.torch_import import import_set_transformer
+    from pautdx.models.signal import SetTransformer
+
+    sd = load_state_dict("/root/reference/signals/set_transformer_model.pth")
+    variables = import_set_transformer(sd)
+    model = SetTransformer(d_model=128, num_heads=4)
+    S = sd["encoder.0.weight"].shape[1]
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(3, 7, S)).astype(np.float32))
+    out = np.asarray(model.apply(variables, x, train=False))
+    assert out.shape == (3,)
+    assert np.isfinite(out).all() and (out >= 0).all() and (out <= 1).all()
+
+
+@pytest.mark.parametrize("name,prefix,hidden", [
+    ("signal_classifier_model2.pth", "shared_layer", (64, 32)),
+    ("anomaly_detector_model.pth", "network", (128, 64, 32)),
+])
+def test_import_mlp_classifiers(name, prefix, hidden):
+    path = f"/root/reference/signals/{name}"
+    if not os.path.exists(path):
+        pytest.skip("reference checkpoints unavailable")
+    from pautdx.compat.torch_import import import_mlp_classifier
+    from pautdx.models.signal import SignalClassifierMLP
+
+    sd = load_state_dict(path)
+    variables = import_mlp_classifier(sd, prefix)
+    model = SignalClassifierMLP(hidden=hidden)
+    x = np.random.default_rng(0).normal(size=(1, 4, 320)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    assert got.shape == (1, 4)
+    # numpy oracle: plain MLP with ReLU between layers, sigmoid at the end
+    h = x.reshape(4, 320)
+    ws = sorted({int(k.split(".")[1]) for k in sd if k.endswith(".weight")})
+    for i, j in enumerate(ws):
+        h = h @ sd[f"{prefix}.{j}.weight"].T + sd[f"{prefix}.{j}.bias"]
+        if i < len(ws) - 1:
+            h = np.maximum(h, 0)
+    expected = (1 / (1 + np.exp(-h[..., 0])))[None]
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
