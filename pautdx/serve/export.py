@@ -29,9 +29,9 @@ def export_forward(fn: Callable, example_args: Tuple,
     from jax import export as jax_export
 
     if polymorphic_batch:
-        sym = jax_export.symbolic_shape("b")
+        (sym,) = jax_export.symbolic_shape("b")
         args = tuple(
-            jax.ShapeDtypeStruct((sym,) + a.shape[1:], a.dtype)
+            jax.ShapeDtypeStruct((sym,) + tuple(a.shape[1:]), a.dtype)
             for a in example_args)
     else:
         args = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
