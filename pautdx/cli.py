@@ -335,6 +335,31 @@ def _cmd_predict_bscan(args) -> None:
     print(f"detections for {len(results)} sequences in {args.out}")
 
 
+def _cmd_export(args) -> None:
+    """Export a trained signal model to a portable StableHLO artifact —
+    the ONNX-export replacement (~ `resaveModelOnnx.py`)."""
+    import jax.numpy as jnp
+
+    from pautdx.serve.export import export_signal_model
+
+    predict, meta = _load_signal_model(args.checkpoint)
+    # rebuild model+variables (predict closes over them; re-derive for export)
+    from pautdx.models.signal.detection_zoo import MODEL_ZOO
+    from pautdx.train import CheckpointManager
+
+    ckpt = CheckpointManager(args.checkpoint)
+    state, _ = ckpt.restore("best" if "best" in ckpt._markers() else "latest")
+    model = MODEL_ZOO[meta["model"]]()
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    export_signal_model(
+        model, variables,
+        (args.batch, args.num_signals, args.signal_length), args.out,
+        polymorphic_batch=args.polymorphic)
+    print(f"StableHLO artifact: {args.out}")
+
+
 def _cmd_train_temporal(args) -> None:
     """Train a temporal D-FINE over B-scan sequences
     (~ `temporal_dfine.py:249-314`: frozen trunk, per-frame Hungarian loss,
@@ -519,6 +544,16 @@ def main(argv=None) -> None:
     pb.add_argument("--threshold", type=float, default=0.3)
     pb.add_argument("--overlays", action="store_true")
     pb.set_defaults(fn=_cmd_predict_bscan)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--checkpoint", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--batch", type=int, default=1)
+    ex.add_argument("--num-signals", type=int, default=50)
+    ex.add_argument("--signal-length", type=int, default=320)
+    ex.add_argument("--polymorphic", action="store_true",
+                    help="symbolic batch dimension")
+    ex.set_defaults(fn=_cmd_export)
 
     tt = sub.add_parser("train-temporal")
     tt.add_argument("--data", required=True)

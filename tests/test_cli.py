@@ -67,3 +67,15 @@ def test_predict_signal_cli(trained, raw_dir, tmp_path):
     heat = np.asarray(preds["volA.json"]["probabilities"])
     assert heat.shape == (5, 60)
     assert os.path.exists(os.path.join(out, "volA.png"))
+
+
+def test_export_cli(trained, tmp_path):
+    out = str(tmp_path / "model.stablehlo")
+    cli.main(["export", "--checkpoint", trained, "--out", out,
+              "--num-signals", "30", "--signal-length", "160"])
+    assert os.path.getsize(out) > 0
+    from pautdx.serve.export import load_exported
+    import jax.numpy as jnp
+    call = load_exported(out)
+    y = call(jnp.zeros((1, 30, 160)))
+    assert np.asarray(y).shape == (1, 30)
