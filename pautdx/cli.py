@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 
 def _cmd_build_dataset(args) -> None:

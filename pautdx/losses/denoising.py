@@ -14,7 +14,6 @@ PRNG key. Padded GT slots become negatives with zero loss weight.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
@@ -84,9 +83,8 @@ def make_denoising_queries(rng: jax.Array, gt_boxes: jnp.ndarray,
     same = q_block[:, None] == q_block[None, :]
     dn_mask = jnp.where(same, 0.0, neg_inf)
     mask = mask.at[:D, :D].set(dn_mask)
-    # denoising queries cannot see matching queries (HF keeps this open in
-    # one direction: dn CAN see match? torch masks only [dn, dn-other] and
-    # [match, dn]; dn->match stays open — replicate)
+    # NOTE: [dn -> match] stays open, matching the torch mask, which only
+    # blocks [match -> dn] and cross-group [dn -> dn]
     gt_index = jnp.broadcast_to(jnp.arange(D) % M, (B, D))
     return {"class_ids": class_ids, "box_logits": box_logits,
             "attn_mask": mask, "is_positive": is_positive,
