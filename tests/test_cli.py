@@ -79,3 +79,14 @@ def test_export_cli(trained, tmp_path):
     call = load_exported(out)
     y = call(jnp.zeros((1, 30, 160)))
     assert np.asarray(y).shape == (1, 30)
+
+
+def test_bridge_cli(trained, monkeypatch, capsys):
+    import io
+    sig = np.random.default_rng(5).normal(size=(6, 160)).astype(np.float32)
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        json.dumps({"signals": sig.tolist()})))
+    cli.main(["bridge", "--checkpoint", trained])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["prob"][0]) == 6
+    assert set(payload) >= {"prob", "pred"}
