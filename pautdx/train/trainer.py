@@ -49,8 +49,15 @@ class Trainer:
                  optimizer: optax.GradientTransformation,
                  *, mesh=None, checkpoint_dir: Optional[str] = None,
                  ema_decay: Optional[float] = None, seed: int = 0,
-                 input_key: str = "signals"):
+                 input_key: str = "signals", guard_nonfinite: bool = True):
         self.model = model
+        if guard_nonfinite:
+            # numerical-safety net (SURVEY §5.2): a non-finite loss from a
+            # bad batch becomes a constant surrogate instead of poisoning
+            # the params — the reference's try/except-continue, jit-safe
+            from pautdx.utils.debug import guarded
+
+            objective = guarded(objective)
         self.objective = objective
         self.optimizer = optimizer
         self.mesh = mesh
@@ -100,7 +107,21 @@ class Trainer:
                 state.params, state.batch_stats, batch, rng)
             updates, new_opt = optimizer.update(grads, state.opt_state,
                                                 state.params)
-            updates = scale_updates(updates, lr_scale)
+            # numerical-safety net: a poisoned batch (NaN/inf loss or
+            # grads) contributes a ZERO update instead of corrupting the
+            # params — jit-safe version of the reference's
+            # try/except-continue (SURVEY §5.2)
+            finite = jnp.isfinite(optax.global_norm(updates))
+            updates = scale_updates(
+                jax.tree_util.tree_map(jnp.nan_to_num, updates),
+                lr_scale * finite.astype(jnp.float32))
+            # poisoned grads also corrupt optimizer moments: keep the old
+            # optimizer state on a non-finite batch
+            new_opt = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_opt,
+                state.opt_state)
+            aux = dict(aux)
+            aux["update_was_finite"] = finite.astype(jnp.float32)
             new_params = optax.apply_updates(state.params, updates)
             ema = state.ema_params
             if ema_decay:
@@ -108,7 +129,6 @@ class Trainer:
             new_state = TrainState(step=state.step + 1, params=new_params,
                                    batch_stats=new_bs, opt_state=new_opt,
                                    ema_params=ema)
-            aux = dict(aux)
             aux["grad_norm"] = optax.global_norm(grads)
             return new_state, aux
 

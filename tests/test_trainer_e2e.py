@@ -95,3 +95,28 @@ def test_history_contract(data, tmp_path):
     hist = ckpt.load_history()
     for key in ("epoch", "train_bce", "val_loss", "lr_scale", "time_s"):
         assert key in hist and len(hist[key]) == 2
+
+
+def test_trainer_guards_nonfinite_loss(data):
+    """A poisoned batch (NaN signals) must not produce NaN params."""
+    train_ds, _ = data
+    model = HybridBinaryModel(hidden_sizes=(32, 16, 8), num_heads=2,
+                              num_transformer_layers=1, pooled_len=16,
+                              norm="group")
+    trainer = Trainer(model, _objective, make_optimizer(1e-3))
+    batch = next(iter(BatchIterator(train_ds, 4, seed=0)))
+    state = trainer.init(batch)
+
+    poisoned = dict(batch)
+    poisoned["signals"] = batch["signals"].copy()
+    poisoned["signals"][0] = np.nan
+    state, aux = trainer.train_epoch(state, [poisoned])
+    assert aux["loss_was_finite"] == 0.0
+    assert aux["update_was_finite"] == 0.0
+    for l in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(l)).all()
+    for l in jax.tree_util.tree_leaves(state.opt_state):
+        assert np.isfinite(np.asarray(l)).all()
+    # a healthy batch afterwards still trains normally
+    state, aux = trainer.train_epoch(state, [batch])
+    assert aux["update_was_finite"] == 1.0
