@@ -5,11 +5,16 @@ The training objective the reference gets from HF's D-FINE loss function
 
 Static-shape formulation: ground truths are padded to ``max_boxes``; the
 (Q x M) cost matrix is built densely inside jit, and the assignment runs
-as a host callback (`scipy.optimize.linear_sum_assignment`) — the same
-solver HF uses internally; padded GT columns carry a large cost and their
-matches are masked out of every loss term. The reference's fragility note
-(per-frame try/except with CE fallback, `temporal_dfine.py:204-231`)
-becomes unnecessary: padded matching is total, no exceptions.
+ON DEVICE with an exact Jonker-Volgenant solver (``pautdx.ops.lapjv`` —
+the same algorithm scipy's ``linear_sum_assignment`` uses, which HF calls
+on host). No host callback means no per-step host sync and no SPMD
+"involuntary full rematerialization" under a dp mesh. Padded GT columns
+carry a UNIFORM cost (uniform constants cannot change which queries the
+real columns receive — exchange argument — and 0 keeps float32 duals
+well-conditioned); their matches are masked out of every loss term. The
+reference's fragility note (per-frame try/except with CE fallback,
+`temporal_dfine.py:204-231`) becomes unnecessary: padded matching is
+total, no exceptions.
 
 Losses (RT-DETR/D-FINE recipe):
 - classification: varifocal (IoU-weighted BCE) over all queries
@@ -61,7 +66,11 @@ def pairwise_giou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _hungarian_host(cost: np.ndarray) -> np.ndarray:
-    """(B, Q, M) cost -> (B, M) query index per gt column (full M match)."""
+    """(B, Q, M) cost -> (B, M) query index per gt column (full M match).
+
+    Host scipy reference implementation, kept for cross-checking the
+    on-device solver in tests; not used on the training path.
+    """
     from scipy.optimize import linear_sum_assignment
 
     B, Q, M = cost.shape
@@ -76,16 +85,13 @@ def _hungarian_host(cost: np.ndarray) -> np.ndarray:
 
 
 def hungarian_match(cost: jnp.ndarray) -> jnp.ndarray:
-    """Batch Hungarian assignment via host callback; cost (B, Q, M)."""
-    B, Q, M = cost.shape
+    """Batch Hungarian assignment on device; cost (B, Q, M) -> (B, M)."""
+    from pautdx.ops.lapjv import lapjv_batch
+
     cost = jax.lax.stop_gradient(
-        jnp.nan_to_num(cost, nan=1e6, posinf=1e6, neginf=1e6))
-    return jax.pure_callback(
-        _hungarian_host,
-        jax.ShapeDtypeStruct((B, M), jnp.int32),
-        cost,
-        vmap_method="sequential",
-    )
+        jnp.nan_to_num(cost, nan=1e4, posinf=1e4, neginf=-1e4))
+    # solver wants rows = the small side (GT columns): (B, M, Q)
+    return lapjv_batch(jnp.swapaxes(cost, 1, 2))
 
 
 def build_cost(logits: jnp.ndarray, boxes: jnp.ndarray,
@@ -109,7 +115,11 @@ def build_cost(logits: jnp.ndarray, boxes: jnp.ndarray,
     cost_giou = -jax.vmap(pairwise_giou)(xy_p, xy_g)
     cost = (cls_weight * cost_cls + l1_weight * cost_l1
             + giou_weight * cost_giou)
-    return jnp.where(gt_mask[:, None, :] > 0, cost, 1e6)
+    # Padded GT columns get a UNIFORM cost: uniform per-column constants
+    # never change which queries the real columns receive (exchange
+    # argument), and 0 keeps the assignment duals at real-cost scale so
+    # the float32 on-device solver stays exact.
+    return jnp.where(gt_mask[:, None, :] > 0, cost, 0.0)
 
 
 def _fgl_loss(pred_corners: jnp.ndarray, target_dist: jnp.ndarray,

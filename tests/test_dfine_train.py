@@ -44,7 +44,7 @@ def test_hungarian_matches_obvious_assignment():
     assert match[0, 0] == 2 and match[0, 1] == 0
 
 
-def test_cost_padded_columns_large():
+def test_cost_padded_columns_uniform():
     B, Q, M, C = 1, 4, 3, 2
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.normal(size=(B, Q, C)).astype(np.float32))
@@ -53,7 +53,12 @@ def test_cost_padded_columns_large():
     gt_classes = jnp.zeros((B, M), jnp.int32)
     gt_mask = jnp.asarray([[1.0, 1.0, 0.0]])
     cost = build_cost(logits, boxes, gt_boxes, gt_classes, gt_mask)
-    assert float(cost[0, :, 2].min()) >= 1e6
+    # padded GT columns carry a UNIFORM cost (0) so the on-device solver's
+    # float32 duals stay at real-cost scale; uniformity is what guarantees
+    # real columns keep their optimal queries.
+    pad_col = np.asarray(cost[0, :, 2])
+    assert np.all(pad_col == pad_col[0])
+    assert float(pad_col[0]) == 0.0
 
 
 @pytest.fixture(scope="module")

@@ -43,9 +43,13 @@ def summarize(trace_dir: str, top: int = 30):
 def main():
     img = int(sys.argv[1]) if len(sys.argv) > 1 else 640
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    method = sys.argv[3] if len(sys.argv) > 3 else "discrete"
+    import dataclasses
+
     from pautdx.models.vision.dfine import DFine, dfine_nano
 
-    cfg = dfine_nano(num_labels=2)
+    cfg = dataclasses.replace(dfine_nano(num_labels=2),
+                              decoder_method=method)
     model = DFine(cfg)
     init_fn = jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
