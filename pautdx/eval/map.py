@@ -82,7 +82,9 @@ def evaluate_map(predictions: List[Dict[str, np.ndarray]],
             recalls = cum_tp / n_gt
             precisions = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
             aps.append(average_precision(recalls, precisions))
-        ap_per_thresh.append(float(np.mean(aps)) if aps else float("nan"))
+        # no class had any ground truth (or no predictions at all): report
+        # 0.0 rather than NaN so downstream quality gates can threshold it
+        ap_per_thresh.append(float(np.mean(aps)) if aps else 0.0)
     out = {f"mAP@{t}": v for t, v in zip(iou_thresholds, ap_per_thresh)}
-    out["mAP"] = float(np.nanmean(ap_per_thresh))
+    out["mAP"] = float(np.mean(ap_per_thresh)) if ap_per_thresh else 0.0
     return out
