@@ -38,7 +38,9 @@ import numpy as np
 from flax import linen as nn
 
 from pautdx.models.vision.hgnet import HGNetConfig, HGNetV2
-from pautdx.ops.deformable import ms_deformable_attention
+from pautdx.ops.deformable import (
+    ms_deformable_attention, ms_deformable_attention_shared,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +70,10 @@ class DFineConfig:
     backbone: HGNetConfig = HGNetConfig()
     eval_idx: int = -1
     decoder_method: str = "default"     # default (bilinear) | discrete
+    # share deformable sampling points across heads (per-head weights
+    # remain): ~8x fewer gather rows on TPU. pautdx-native presets only —
+    # breaks HF checkpoint parity.
+    decoder_shared_points: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -92,6 +98,10 @@ def dfine_nano(num_labels: int = 2, tpu_stem: bool = True) -> DFineConfig:
         # PAUT B-scans carry <=8 objects — half the taps of DETR's 300 at
         # no practical recall cost for this domain
         num_queries=150,
+        # head-shared sampling points: gathers are row-count-bound, so
+        # one 256-byte row per point instead of 8x 32-byte rows (~8x
+        # fewer taps; per-head attention weights unchanged)
+        decoder_shared_points=True,
         backbone=HGNetConfig(stem="patchify" if tpu_stem else "hgnet"),
     )
 
@@ -401,8 +411,9 @@ class DeformableAttention(nn.Module):
         n_heads = c.decoder_attention_heads
         pts_list = c.num_points_list
         total = sum(pts_list)
-        offsets = nn.Dense(n_heads * total * 2, name="sampling_offsets")(hidden)
-        offsets = offsets.reshape(B, Q, n_heads, total, 2)
+        n_loc = 1 if c.decoder_shared_points else n_heads
+        offsets = nn.Dense(n_loc * total * 2, name="sampling_offsets")(hidden)
+        offsets = offsets.reshape(B, Q, n_loc, total, 2)
         weights = nn.Dense(n_heads * total, name="attention_weights")(hidden)
         weights = nn.softmax(weights.reshape(B, Q, n_heads, total), axis=-1)
         scale = jnp.asarray(
@@ -414,9 +425,14 @@ class DeformableAttention(nn.Module):
                   * reference_points[:, :, None, None, 2:]
                   * c.decoder_offset_scale)
         locations = reference_points[:, :, None, None, :2] + offset
-        out = ms_deformable_attention(value_levels, locations,
-                                      weights.astype(value_levels[0].dtype),
-                                      pts_list, method=c.decoder_method)
+        w = weights.astype(value_levels[0].dtype)
+        if c.decoder_shared_points:
+            out = ms_deformable_attention_shared(
+                value_levels, locations[:, :, 0], w, pts_list,
+                method=c.decoder_method)
+        else:
+            out = ms_deformable_attention(value_levels, locations, w,
+                                          pts_list, method=c.decoder_method)
         return out.astype(hidden.dtype)
 
 
