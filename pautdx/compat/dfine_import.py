@@ -115,3 +115,71 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray],
 def load_torch_model_state(model) -> Dict[str, np.ndarray]:
     """torch nn.Module -> flat numpy state dict (buffers included)."""
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def export_state_dict(variables: Dict,
+                      torch_sd_template: Dict[str, np.ndarray]
+                      ) -> Dict[str, np.ndarray]:
+    """pautdx JAX variables -> torch-shaped numpy state dict.
+
+    Inverse of :func:`convert_state_dict`: every template key is filled
+    from the matching JAX leaf with the transpose undone; keys with no
+    JAX counterpart (anchor buffers, ``num_points_scale``, ...) keep the
+    template's own values — correct because the template comes from a
+    torch model instantiated with the same config, and those buffers are
+    config-derived constants. Enables JAX-trained weights to run through
+    the HF torch model (mAP-parity evidence for BASELINE configs 4-5).
+    """
+    params_flat = _flatten(dict(variables["params"]))
+    stats_flat = _flatten(dict(variables.get("batch_stats", {})))
+
+    def lookup(flat: Dict[str, Any], prefix: str, leaf: str):
+        """Find `<prefix>.<leaf>`, resolving torch tied-weight aliases
+        (HF exposes the top-level heads again under model.decoder.*)."""
+        for p in (prefix,
+                  prefix[len("model.decoder."):]
+                  if prefix.startswith("model.decoder.") else None,
+                  prefix[len("model."):]
+                  if prefix.startswith("model.") else None):
+            if p is not None and f"{p}.{leaf}" in flat:
+                return flat[f"{p}.{leaf}"]
+        return None
+
+    out: Dict[str, np.ndarray] = {}
+    for tkey, tval in torch_sd_template.items():
+        tval = np.asarray(tval)
+        prefix, leaf = tkey.rsplit(".", 1) if "." in tkey else ("", tkey)
+        w = None
+        if leaf == "weight":
+            k = lookup(params_flat, prefix, "kernel")
+            if k is not None:
+                k = np.asarray(k)
+                if k.ndim == 4:
+                    w = np.transpose(k, (3, 2, 0, 1))
+                elif k.ndim == 3:
+                    w = np.transpose(k, (2, 1, 0))
+                else:
+                    w = k.T
+            elif lookup(params_flat, prefix, "scale") is not None:
+                w = np.asarray(lookup(params_flat, prefix, "scale"))
+            elif lookup(params_flat, prefix, "embedding") is not None:
+                w = np.asarray(lookup(params_flat, prefix, "embedding"))
+        elif leaf == "bias":
+            b = lookup(params_flat, prefix, "bias")
+            w = None if b is None else np.asarray(b)
+        elif leaf == "running_mean":
+            m = lookup(stats_flat, prefix, "mean")
+            w = None if m is None else np.asarray(m)
+        elif leaf == "running_var":
+            v = lookup(stats_flat, prefix, "var")
+            w = None if v is None else np.asarray(v)
+        elif tkey in params_flat:
+            w = np.asarray(params_flat[tkey])
+        if w is None:
+            out[tkey] = tval                       # config-derived buffer
+            continue
+        if tuple(w.shape) != tuple(tval.shape):
+            raise ValueError(f"shape mismatch at {tkey}: jax {w.shape} "
+                             f"vs torch {tval.shape}")
+        out[tkey] = w.astype(tval.dtype)
+    return out

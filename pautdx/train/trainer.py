@@ -24,6 +24,7 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
+from pautdx.data.prefetch import prefetch_to_device
 from pautdx.mesh import batch_sharding, replicated
 from pautdx.train.checkpoint import CheckpointManager
 from pautdx.train.optim import ReduceLROnPlateau, ema_update, scale_updates
@@ -49,8 +50,13 @@ class Trainer:
                  optimizer: optax.GradientTransformation,
                  *, mesh=None, checkpoint_dir: Optional[str] = None,
                  ema_decay: Optional[float] = None, seed: int = 0,
-                 input_key: str = "signals", guard_nonfinite: bool = True):
+                 input_key: str = "signals", guard_nonfinite: bool = True,
+                 prefetch: int = 2):
         self.model = model
+        # double-buffered host->device input pipeline (the reference's
+        # DataLoader(num_workers=4, pin_memory=True) analogue,
+        # `D-Fine/temporal_dfine.py:259-266`); 0 disables
+        self.prefetch = prefetch
         if guard_nonfinite:
             # numerical-safety net (SURVEY §5.2): a non-finite loss from a
             # bad batch becomes a constant surrogate instead of poisoning
@@ -157,14 +163,24 @@ class Trainer:
             self._eval_step = jax.jit(eval_step)
 
     # -- loops ------------------------------------------------------------
+    def _input_pipeline(self, batches: Iterable) -> Iterable:
+        """Threaded host loading + double-buffered async device transfer:
+        batch k+1's host->device copy is in flight while batch k's step
+        runs, so the device never stalls on input."""
+        if self.prefetch <= 0:
+            return ({k: jnp.asarray(v) for k, v in b.items()}
+                    for b in batches)
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        return prefetch_to_device(batches, size=self.prefetch,
+                                  sharding=sharding)
+
     def train_epoch(self, state: TrainState, batches: Iterable,
                     lr_scale: float = 1.0):
         if self._train_step is None:
             self._build_steps()
         losses = []
         scale = jnp.asarray(lr_scale, jnp.float32)
-        for batch in batches:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        for batch in self._input_pipeline(batches):
             state, aux = self._train_step(state, batch, scale)
             losses.append(aux)
         agg = {k: float(np.mean([np.asarray(l[k]) for l in losses]))
@@ -176,9 +192,8 @@ class Trainer:
         if self._eval_step is None:
             self._build_steps()
         metrics, collected = [], []
-        for batch in batches:
-            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
-            aux, out = self._eval_step(state, batch_j)
+        for batch in self._input_pipeline(batches):
+            aux, out = self._eval_step(state, batch)
             metrics.append(aux)
             if collect is not None:
                 collected.append(collect(out, batch))

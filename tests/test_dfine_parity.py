@@ -200,3 +200,35 @@ def test_full_model_parity(models):
     Q = matched.shape[0]
     assert (matched < 2e-3).sum() >= Q - 4, np.sort(matched)[-6:]
     assert np.median(matched) < 1e-3
+
+
+def test_export_jax_weights_to_torch_parity(models):
+    """Inverse direction: JAX-held weights -> torch state dict -> same
+    outputs. This is the path that lets JAX-TRAINED D-FINE weights run
+    through the HF torch model for mAP-parity evidence."""
+    from pautdx.compat.dfine_import import export_state_dict
+
+    tm, jm, variables, x, _ = models
+    sd = export_state_dict(variables, load_torch_model_state(tm))
+    hf_cfg, _ = _small_hf_configs()
+    from transformers.models.d_fine.modeling_d_fine import (
+        DFineForObjectDetection,
+    )
+    tm2 = DFineForObjectDetection(hf_cfg).eval()
+    tm2.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                         for k, v in sd.items()})
+    with torch.no_grad():
+        tout = tm2(torch.from_numpy(x))
+    jout = DFine(jm.cfg).apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    from scipy.optimize import linear_sum_assignment
+
+    def feats(boxes, logits):
+        return np.concatenate([boxes, 1 / (1 + np.exp(-logits))], axis=-1)
+
+    ft = feats(tout.pred_boxes.numpy(), tout.logits.numpy())[0]
+    fj = feats(np.asarray(jout["pred_boxes"]), np.asarray(jout["logits"]))[0]
+    cost = np.linalg.norm(ft[:, None, :] - fj[None, :, :], axis=-1)
+    r, c_idx = linear_sum_assignment(cost)
+    matched = cost[r, c_idx]
+    assert (matched < 2e-3).sum() >= matched.shape[0] - 4, np.sort(matched)[-6:]
