@@ -374,7 +374,8 @@ def _cmd_train_temporal(args) -> None:
     from pautdx.models.vision.dfine import DFineConfig, dfine_nano
     from pautdx.models.vision.hgnet import HGNetConfig
     from pautdx.models.vision.temporal_dfine import (
-        TemporalDFine, temporal_consistency_loss,
+        TemporalDFine, init_heads_from_trunk, temporal_consistency_loss,
+        trainable_mask,
     )
     from pautdx.train import CheckpointManager
 
@@ -392,7 +393,12 @@ def _cmd_train_temporal(args) -> None:
                 stage_num_blocks=(1, 1, 1, 1), stage_num_layers=(1, 1, 2, 2)))
     else:
         cfg = dfine_nano(num_labels=args.num_classes)
+    # v2/v3 re-classify into defect classes + 1 no-object (the reference's
+    # ignore_mismatched_sizes fresh-head semantics); v1 keeps trunk labels
+    num_temporal_labels = (None if args.variant == "v1"
+                           else args.defect_classes + 1)
     model = TemporalDFine(cfg, variant=args.variant,
+                          num_temporal_labels=num_temporal_labels,
                           num_temporal_layers=args.temporal_layers,
                           temporal_heads=4 if args.tiny else 8)
 
@@ -413,8 +419,47 @@ def _cmd_train_temporal(args) -> None:
     c0 = chunks[0]
     x0 = jnp.asarray(c0.images)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+    # reference head reuse: trunk final heads seed the temporal heads
+    # (class head stays fresh on a label-count mismatch — v2/v3)
+    variables = init_heads_from_trunk(variables, args.variant)
     params, bstats = variables["params"], variables["batch_stats"]
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+
+    # per-variant trainability + the reference v3's 3-group AdamW
+    # (`temp_dfine_over_improved.py:389-410`): trunk 1e-5, temporal 5e-4,
+    # classifier 1e-4. v1/v2 train a single group at --lr.
+    mask = trainable_mask(args.variant, params)
+
+    def group(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        trainable = mask
+        for k in keys:
+            trainable = trainable[k] if not isinstance(trainable, bool) \
+                else trainable
+        if not trainable:
+            return "frozen"
+        top = keys[0]
+        if top in ("temporal_encoder", "temporal_attention.0",
+                   "temporal_attention.2", "anomaly_detector.0",
+                   "anomaly_detector.2", "anomaly_detector.4",
+                   "context_aggregator", "context_projector"):
+            return "temporal"
+        if top == "class_head":
+            return "classifier"
+        return "trunk"
+
+    labels = jax.tree_util.tree_map_with_path(group, params)
+    if args.variant == "v3":
+        tx = {"frozen": optax.set_to_zero(),
+              "trunk": optax.adamw(1e-5, weight_decay=0.01),
+              "temporal": optax.adamw(5e-4, weight_decay=0.01),
+              "classifier": optax.adamw(1e-4, weight_decay=0.01)}
+    else:
+        tx = {"frozen": optax.set_to_zero(),
+              "trunk": optax.adam(args.lr),
+              "temporal": optax.adam(args.lr),
+              "classifier": optax.adam(args.lr)}
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.multi_transform(tx, labels))
     opt_state = opt.init(params)
 
     def loss_fn(p, images, gt_boxes, gt_classes, gt_mask):
@@ -429,7 +474,7 @@ def _cmd_train_temporal(args) -> None:
             "enc_topk_bboxes": out["pred_boxes"],
         }
         loss, _ = dfine_criterion(head_out, gt_boxes, gt_classes, gt_mask,
-                                  cfg.num_labels, cfg.max_num_bins)
+                                  model.head_labels, cfg.max_num_bins)
         if args.variant == "v3":
             loss = loss + 0.1 * temporal_consistency_loss(out["anomaly"])
         return loss
@@ -456,6 +501,8 @@ def _cmd_train_temporal(args) -> None:
                                          "batch_stats": bstats}),
                   metadata={"variant": args.variant, "seq_len": args.seq_len,
                             "num_classes": args.num_classes,
+                            "defect_classes": args.defect_classes,
+                            "num_temporal_labels": num_temporal_labels,
                             "size": args.size},
                   history={"loss": losses}, is_best=True)
     print(f"checkpoints in {args.out}")
@@ -561,6 +608,9 @@ def main(argv=None) -> None:
     tt.add_argument("--size", type=int, default=320)
     tt.add_argument("--seq-len", type=int, default=50)
     tt.add_argument("--num-classes", type=int, default=2)
+    tt.add_argument("--defect-classes", type=int, default=2,
+                    help="v2/v3: defect classes (temporal head gets +1 "
+                         "no-object column)")
     tt.add_argument("--max-boxes", type=int, default=8)
     tt.add_argument("--temporal-layers", type=int, default=4)
     tt.add_argument("--epochs", type=int, default=3)

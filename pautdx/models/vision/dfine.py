@@ -70,6 +70,11 @@ class DFineConfig:
     backbone: HGNetConfig = HGNetConfig()
     eval_idx: int = -1
     decoder_method: str = "default"     # default (bilinear) | discrete
+    # training-recipe knobs (HF DFineConfig defaults are all 0.0, so the
+    # parity configs are unchanged; recipes may turn these on)
+    dropout: float = 0.0                # residual dropout in enc/dec layers
+    attention_dropout: float = 0.0      # on attention weights
+    activation_dropout: float = 0.0     # inside FFNs
     # share deformable sampling points across heads (per-head weights
     # remain): ~8x fewer gather rows on TPU. pautdx-native presets only —
     # breaks HF checkpoint parity.
@@ -260,9 +265,11 @@ class SCDown(nn.Module):
 
 class TorchMHA(nn.Module):
     """Separate-projection MHA with optional additive pos embeddings on
-    q/k (HF DFineMultiheadAttention semantics; dropout omitted in eval)."""
+    q/k (HF DFineMultiheadAttention semantics; ``attention_dropout`` on
+    the softmaxed weights, active only under ``train``)."""
 
     num_heads: int
+    attention_dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, pos: Optional[jnp.ndarray] = None,
@@ -283,6 +290,8 @@ class TorchMHA(nn.Module):
         if attn_mask is not None:
             logits = logits + attn_mask
         w = nn.softmax(logits, axis=-1)
+        if self.attention_dropout > 0:
+            w = nn.Dropout(self.attention_dropout, deterministic=not train)(w)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, split(v))
         out = out.reshape(out.shape[:-2] + (d,))
         return nn.Dense(d, name="out_proj")(out)
@@ -296,13 +305,22 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, pos, train: bool = False):
         c = self.cfg
-        a = TorchMHA(c.encoder_attention_heads, name="self_attn")(
-            x, pos=pos, train=train)
-        x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x + a)
+
+        def drop(t, rate):
+            if rate > 0:
+                t = nn.Dropout(rate, deterministic=not train)(t)
+            return t
+
+        a = TorchMHA(c.encoder_attention_heads, c.attention_dropout,
+                     name="self_attn")(x, pos=pos, train=train)
+        x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(
+            x + drop(a, c.dropout))
         h = nn.gelu(nn.Dense(c.encoder_ffn_dim, name="fc1")(x),
                     approximate=False)
-        h = nn.Dense(c.encoder_hidden_dim, name="fc2")(h)
-        return nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x + h)
+        h = nn.Dense(c.encoder_hidden_dim, name="fc2")(drop(
+            h, c.activation_dropout))
+        return nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(
+            x + drop(h, c.dropout))
 
 
 class HybridEncoder(nn.Module):
@@ -443,18 +461,26 @@ class DecoderLayer(nn.Module):
     def __call__(self, hidden, pos, value_levels, reference_points,
                  train: bool = False, attn_mask: Optional[jnp.ndarray] = None):
         c = self.cfg
-        a = TorchMHA(c.decoder_attention_heads, name="self_attn")(
+
+        def drop(t, rate):
+            if rate > 0:
+                t = nn.Dropout(rate, deterministic=not train)(t)
+            return t
+
+        a = TorchMHA(c.decoder_attention_heads, c.attention_dropout,
+                     name="self_attn")(
             hidden, pos=pos, attn_mask=attn_mask, train=train)
-        hidden = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(hidden + a)
+        hidden = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(
+            hidden + drop(a, c.dropout))
         residual = hidden
         q = hidden if pos is None else hidden + pos
         cross = DeformableAttention(c, name="encoder_attn")(
             q, value_levels, reference_points)
-        hidden = Gate(name="gateway")(residual, cross)
+        hidden = Gate(name="gateway")(residual, drop(cross, c.dropout))
         h = nn.relu(nn.Dense(c.decoder_ffn_dim, name="fc1")(hidden))
-        h = nn.Dense(c.d_model, name="fc2")(h)
+        h = nn.Dense(c.d_model, name="fc2")(drop(h, c.activation_dropout))
         hidden = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(
-            jnp.clip(hidden + h, -65504.0, 65504.0))
+            jnp.clip(hidden + drop(h, c.dropout), -65504.0, 65504.0))
         return hidden
 
 

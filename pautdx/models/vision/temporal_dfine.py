@@ -1,24 +1,40 @@
 """Temporal D-FINE — cross-frame fusion over B-scan sequences.
 
-Re-designs of the reference's three variants (SURVEY.md §2.2):
+Re-designs of the reference's three variants with their ACTUAL semantics
+(SURVEY.md §2.2), which differ in heads, projection grid, and what
+trains:
 
 - **v1** (`D-Fine/temporal_dfine.py:121-237`): frozen D-FINE trunk; a
-  transformer encoder fuses each decoder query across the T frames of a
-  sequence (attention along time, queries as batch); the FDR head
-  (corner distributions -> integral -> distance2bbox) re-decodes boxes
-  from the fused features.
-- **v2** (`temp_dfine_over.py:126-285`): new defect-class classifier on
-  top (num_labels = defects + 1), trunk still frozen.
+  4-layer transformer (tiny init, std 1e-3) fuses each decoder query
+  across the T frames; the TRUNK's own final class/bbox heads re-decode
+  from the fused features (no new heads — use
+  :func:`init_heads_from_trunk` to copy the trunk head params in, the
+  flax analogue of torch's module aliasing). FDR uses the trunk's
+  non-uniform ``weighting_function`` grid. Trains: temporal encoder only.
+- **v2** (`temp_dfine_over.py:126-285`): a FRESH defect classifier with
+  ``num_temporal_labels = defects + 1`` (the reference's
+  ``ignore_mismatched_sizes=True`` re-init); bbox head still copied from
+  the trunk. The projection grid becomes the reference's inline UNIFORM
+  ``Wn = arange(bins+1) * up / reg_scale`` (:159-168 of the file — a
+  deliberate simplification we reproduce). Trains: temporal encoder +
+  the new class head.
 - **v3** (`temp_dfine_over_improved.py:126-353`): adds a temporal
-  attention pool (softmax over T), a BiGRU context aggregator with
-  projector, and an anomaly MLP whose scores are added to the defect
-  logits; anomaly temporal-consistency MSE joins the loss (weight 0.1).
+  attention pool (Linear d->256->1, softmax over T), a BiGRU context
+  aggregator + projector, and a per-defect-class anomaly MLP
+  (d->256->128->defects) whose scores are ADDED to the defect logits
+  (no-object logit passes through); fused features are combined as
+  ``fused * attn + context`` (:226). Anomaly temporal-consistency MSE
+  joins the loss at weight 0.1. Trains: everything except the trunk
+  BACKBONE (decoder/encoder now trainable, :152-157). Re-design note:
+  the reference runs its GRU over the flattened (T*Q) axis as one long
+  sequence (:225); we aggregate across T per query, which is the stated
+  intent of a *temporal* context aggregator.
 
-Input is one sequence of T frames ``(T, H, W, 3)``; the trunk treats T as
-its batch. Freezing is an optimizer concern (zero-lr masks on the
-``trunk`` param subtree — ``pautdx.train.optim``), plus
-``stop_trunk_gradient`` to cut the graph like the reference's frozen
-backbone.
+Input is one sequence of T frames ``(T, H, W, 3)``; the trunk treats T
+as its batch. What trains is an optimizer concern:
+:func:`trainable_mask` returns the per-variant boolean pytree for
+``optax.masked`` — plus ``stop_trunk_gradient`` (v1/v2) cuts the graph
+like the reference's full freeze so the backward never enters the trunk.
 """
 
 from __future__ import annotations
@@ -39,9 +55,23 @@ from pautdx.nn.transformer import Encoder
 class TemporalDFine(nn.Module):
     cfg: DFineConfig = DFineConfig()
     variant: str = "v1"                  # v1 | v2 | v3
+    # v2/v3: defect classes + 1 no-object; None -> trunk's num_labels (v1)
+    num_temporal_labels: Optional[int] = None
     num_temporal_layers: int = 4
     temporal_heads: int = 8
-    stop_trunk_gradient: bool = True
+
+    @property
+    def head_labels(self) -> int:
+        if self.variant == "v1" or self.num_temporal_labels is None:
+            return self.cfg.num_labels
+        return self.num_temporal_labels
+
+    @property
+    def stop_trunk_gradient(self) -> bool:
+        # v1/v2 freeze the whole trunk (graph cut saves the backward);
+        # v3 trains the trunk decoder, so gradients must flow — the
+        # backbone freeze is enforced by trainable_mask instead.
+        return self.variant in ("v1", "v2")
 
     @nn.compact
     def __call__(self, frames: jnp.ndarray, train: bool = False
@@ -57,47 +87,106 @@ class TemporalDFine(nn.Module):
         T, Q, D = hidden.shape
         # fuse across time: queries become the batch axis
         seq = jnp.swapaxes(hidden, 0, 1)               # (Q, T, D)
-        fused = Encoder(self.num_temporal_layers, self.temporal_heads,
-                        4 * D, dropout=0.1, name="temporal_encoder")(
-            seq, train=train)
-        fused = jnp.swapaxes(fused, 0, 1)              # (T, Q, D)
+        fused_qt = Encoder(self.num_temporal_layers, self.temporal_heads,
+                           4 * D, dropout=0.1, name="temporal_encoder")(
+            seq, train=train)                          # (Q, T, D)
 
+        n_defects = max(self.head_labels - 1, 1)
         if self.variant == "v3":
-            # temporal attention over frames per query
+            # temporal attention pool: softmax over the T axis per query
             attn = nn.softmax(
-                nn.Dense(1, name="temporal_attention")(
-                    jnp.swapaxes(fused, 0, 1)), axis=-2)  # (Q, T, 1)
-            context = BiGRU(D, name="context_aggregator")(
-                jnp.swapaxes(fused, 0, 1))               # (Q, T, 2D)
+                nn.Dense(1, name="temporal_attention.2")(
+                    nn.relu(nn.Dense(256, name="temporal_attention.0")(
+                        fused_qt))), axis=-2)          # (Q, T, 1)
+            context = BiGRU(D, name="context_aggregator")(fused_qt)
             context = nn.Dense(D, name="context_projector")(context)
-            fused = fused + jnp.swapaxes(attn * context, 0, 1)
+            feats = jnp.swapaxes(fused_qt * attn + context, 0, 1)
+        else:
+            feats = hidden + jnp.swapaxes(fused_qt, 0, 1)  # residual fusion
 
-        feats = hidden + fused                          # residual fusion
-
-        scores = nn.Dense(c.num_labels, name="class_head")(feats)
+        scores = nn.Dense(self.head_labels, name="class_head")(feats)
         corners = nn.Dense(4 * (c.max_num_bins + 1), name="bbox_head")(feats)
-        project = weighting_function(c.max_num_bins, c.up, c.reg_scale)
+        if self.variant == "v1":
+            # trunk's non-uniform FDR grid (temporal_dfine.py:175-181)
+            project = weighting_function(c.max_num_bins, c.up, c.reg_scale)
+        else:
+            # v2/v3 inline uniform grid (temp_dfine_over.py:205-210)
+            project = (jnp.arange(c.max_num_bins + 1, dtype=jnp.float32)
+                       * abs(c.up) / abs(c.reg_scale))
+        corners = jnp.nan_to_num(corners, nan=0.0, posinf=1.0, neginf=0.0)
         boxes = distance2bbox(init_refs,
                               integral(corners, project, c.max_num_bins),
                               c.reg_scale)
-        boxes = jnp.clip(jnp.nan_to_num(boxes, nan=0.0), 0.0, 1.0)
+        boxes = jnp.clip(jnp.nan_to_num(boxes, nan=0.5), 0.0, 1.0)
 
         out: Dict[str, Any] = {
-            "logits": jnp.clip(scores, -20.0, 20.0),    # reference clamp
             "pred_boxes": boxes,
             "trunk_logits": trunk_out["logits"],
             "trunk_boxes": trunk_out["pred_boxes"],
         }
         if self.variant == "v3":
-            anomaly = nn.sigmoid(
-                nn.Dense(1, name="anomaly_detector")(
-                    nn.relu(nn.Dense(D, name="anomaly_hidden")(feats))))
-            anomaly = anomaly[..., 0]
-            out["anomaly"] = anomaly
-            out["logits"] = out["logits"].at[..., 1:].add(anomaly[..., None])
+            # per-defect-class anomaly scores added to the defect logits;
+            # the no-object logit (last column) passes through
+            anomaly = nn.Dense(n_defects, name="anomaly_detector.4")(
+                nn.relu(nn.Dense(128, name="anomaly_detector.2")(
+                    nn.relu(nn.Dense(256, name="anomaly_detector.0")(feats)))))
+            out["anomaly"] = anomaly                   # (T, Q, defects)
+            scores = jnp.concatenate(
+                [scores[..., :n_defects] + anomaly, scores[..., n_defects:]],
+                axis=-1)
+        out["logits"] = jnp.nan_to_num(
+            jnp.clip(scores, -20.0, 20.0), nan=0.0, posinf=20.0, neginf=-20.0)
         return out
 
 
 def temporal_consistency_loss(anomaly: jnp.ndarray) -> jnp.ndarray:
-    """MSE between consecutive frames' anomaly maps (weight 0.1 in v3)."""
+    """MSE between consecutive frames' anomaly scores (weight 0.1 in v3,
+    `temp_dfine_over_improved.py:292-301`)."""
     return jnp.mean(jnp.square(anomaly[1:] - anomaly[:-1]))
+
+
+def trainable_mask(variant: str, params) -> Any:
+    """Boolean pytree for ``optax.masked``: which params train per variant.
+
+    v1: temporal encoder only (reference freezes everything else,
+    `temporal_dfine.py:133-139`); v2: + the fresh class head
+    (`temp_dfine_over.py:150-172`); v3: everything except the trunk
+    BACKBONE (`temp_dfine_over_improved.py:152-157`).
+    """
+    def decide(path, _) -> bool:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        top = keys[0]
+        if variant == "v1":
+            return top == "temporal_encoder"
+        if variant == "v2":
+            return top in ("temporal_encoder", "class_head")
+        # v3
+        if top == "trunk":
+            return "model.backbone.model" not in keys
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def init_heads_from_trunk(variables: Dict, variant: str = "v1") -> Dict:
+    """Copy the trunk's final class/bbox head params into the temporal
+    heads — the flax analogue of the reference aliasing
+    ``self.class_head = dfine.class_embed[-1]``.
+
+    v1 copies both heads; v2/v3 copy only the bbox head when the class
+    head widths differ (the reference's ``ignore_mismatched_sizes=True``
+    fresh-classifier semantics).
+    """
+    params = jax.tree_util.tree_map(lambda x: x, dict(variables["params"]))
+    trunk = params["trunk"]
+    last = max(int(k.rsplit(".", 1)[1]) for k in trunk
+               if k.startswith("class_embed."))
+    cls_src = trunk[f"class_embed.{last}"]
+    bbox_src = trunk[f"bbox_embed.{last}"]["layers.2"]  # final MLP layer
+    if tuple(params["class_head"]["kernel"].shape) == \
+            tuple(cls_src["kernel"].shape):
+        params["class_head"] = dict(cls_src)
+    params["bbox_head"] = dict(bbox_src)
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars

@@ -126,7 +126,10 @@ def test_temporal_dfine_forward(variant):
     b = np.asarray(out["pred_boxes"])
     assert (b >= 0).all() and (b <= 1).all()
     if variant == "v3":
-        assert out["anomaly"].shape == (T, TINY.num_queries)
+        # per-defect-class anomaly scores (num_temporal_labels=None here,
+        # so defects = trunk labels - 1)
+        assert out["anomaly"].shape == (T, TINY.num_queries,
+                                        TINY.num_labels - 1)
         tc = temporal_consistency_loss(out["anomaly"])
         assert np.isfinite(float(tc))
 
