@@ -2,19 +2,31 @@
 
 TPU-native re-implementation of the capability the reference gets from
 Ultralytics (`BscanBased/yolo5s_retrain.py`, `yolo_seg_train.py`,
-`yolo8_seg_predict.py` — SURVEY.md §2.1): CSP backbone (C3 for the v5
+`yolo8_seg_predict.py` — SURVEY.md §2.1): CSP backbone (C3 for the v5u
 flavour, C2f for v8), SPPF, PAN neck, anchor-free decoupled detect head
 with DFL box distributions, and an optional segmentation head (prototype
 masks + per-anchor coefficients).
 
 Anchor-free + DFL covers both reference trainings: ultralytics
-``yolov5su.pt`` uses the same updated head as v8.
+``yolov5su.pt`` uses the same updated (u) head as v8.
+
+The module tree is STRUCTURALLY ALIGNED with Ultralytics so their
+checkpoints import mechanically (``pautdx.compat.yolo_import``):
+
+- head channels follow the Ultralytics formulas: box branch
+  ``c2 = max(16, p3_ch // 4, 4 * reg_max)``, cls branch
+  ``c3 = max(p3_ch, min(num_classes, 100))`` — identical across levels;
+- the v5u flavour has the 6x6/s2 stem, stage depths (3, 6, 9, 3), and
+  the lateral 1x1 convs in the PAN neck (yolov5.yaml head);
+- the seg heads mirror Ultralytics ``Segment``: Proto with a learned
+  2x2/s2 transposed-conv upsample, 3-layer coefficient branches;
+- submodule names mirror Ultralytics (cv1/cv2/m.N/conv/bn).
 
 Everything is static-shape: detection outputs are dense per-level grids;
 NMS (``pautdx.ops.nms``) runs on fixed-size top-k.
 
-Scales: n = depth 1/3, width 1/4; s = depth 1/3, width 1/2 (of base
-depths (3,6,6,3) / widths (64,128,256,512,1024)).
+Scales: n = depth 1/3, width 1/4; s = depth 1/3, width 1/2; m = 2/3,
+0.75 (of base widths (64, 128, 256, 512, 1024)).
 """
 
 from __future__ import annotations
@@ -32,9 +44,9 @@ STRIDES = (8, 16, 32)
 class YoloConfig:
     num_classes: int = 1
     scale: str = "n"                 # n | s | m
-    flavour: str = "v8"              # v8 (C2f) | v5 (C3)
+    flavour: str = "v8"              # v8 (C2f) | v5 (C3, v5u layout)
     reg_max: int = 16                # DFL bins
-    num_protos: int = 32             # seg prototypes
+    num_protos: int = 32             # seg mask coefficients (nm)
     seg: bool = False
 
     @property
@@ -45,37 +57,52 @@ class YoloConfig:
     def width_mult(self) -> float:
         return {"n": 0.25, "s": 0.5, "m": 0.75}[self.scale]
 
+    @property
+    def stage_depths(self) -> Tuple[int, int, int, int]:
+        # yolov8.yaml: (3, 6, 6, 3); yolov5.yaml: (3, 6, 9, 3)
+        return (3, 6, 6, 3) if self.flavour == "v8" else (3, 6, 9, 3)
+
     def width(self, w: int) -> int:
         return max(8, int(round(w * self.width_mult / 8)) * 8)
 
     def depth(self, d: int) -> int:
         return max(1, round(d * self.depth_mult))
 
+    @property
+    def proto_channels(self) -> int:
+        """Ultralytics Segment npr = 256 * width."""
+        return self.width(256)
+
 
 class ConvBnSiLU(nn.Module):
+    """Ultralytics ``Conv``: conv (no bias) + BN(eps 1e-3) + SiLU."""
+
     features: int
     kernel: int = 1
     stride: int = 1
+    padding: Optional[int] = None     # None -> (k-1)//2 (odd-k SAME)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = (self.kernel - 1) // 2 if self.padding is None else self.padding
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=False)(x)
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), use_bias=False,
+                    name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3)(x)
+                         epsilon=1e-3, name="bn")(x)
         return nn.silu(x)
 
 
 class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
-    kernel1: int = 3
+    kernel1: int = 3                 # C2f: (3, 3); C3: (1, 3)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = ConvBnSiLU(self.features, self.kernel1)(x, train)
-        h = ConvBnSiLU(self.features, 3)(h, train)
+        h = ConvBnSiLU(self.features, self.kernel1, name="cv1")(x, train)
+        h = ConvBnSiLU(self.features, 3, name="cv2")(h, train)
         return x + h if self.shortcut and x.shape[-1] == self.features else h
 
 
@@ -89,12 +116,12 @@ class C2f(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.features // 2
-        y = ConvBnSiLU(2 * c, 1)(x, train)
+        y = ConvBnSiLU(2 * c, 1, name="cv1")(x, train)
         parts = list(jnp.split(y, 2, axis=-1))
         for i in range(self.n):
-            parts.append(Bottleneck(c, self.shortcut, name=f"m{i}")(
+            parts.append(Bottleneck(c, self.shortcut, name=f"m.{i}")(
                 parts[-1], train))
-        return ConvBnSiLU(self.features, 1, name="out")(
+        return ConvBnSiLU(self.features, 1, name="cv2")(
             jnp.concatenate(parts, axis=-1), train)
 
 
@@ -110,7 +137,8 @@ class C3(nn.Module):
         c = self.features // 2
         a = ConvBnSiLU(c, 1, name="cv1")(x, train)
         for i in range(self.n):
-            a = Bottleneck(c, self.shortcut, kernel1=1, name=f"m{i}")(a, train)
+            a = Bottleneck(c, self.shortcut, kernel1=1, name=f"m.{i}")(
+                a, train)
         b = ConvBnSiLU(c, 1, name="cv2")(x, train)
         return ConvBnSiLU(self.features, 1, name="cv3")(
             jnp.concatenate([a, b], axis=-1), train)
@@ -121,7 +149,7 @@ class SPPF(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = self.features // 2
+        c = x.shape[-1] // 2
         x = ConvBnSiLU(c, 1, name="cv1")(x, train)
         pools = [x]
         for _ in range(3):
@@ -132,7 +160,6 @@ class SPPF(nn.Module):
 
 
 def _upsample2x(x):
-    B, H, W, C = x.shape
     x = jnp.repeat(x, 2, axis=1)
     return jnp.repeat(x, 2, axis=2)
 
@@ -145,21 +172,31 @@ class Backbone(nn.Module):
         cfg = self.cfg
         block = C2f if cfg.flavour == "v8" else C3
         w, d = cfg.width, cfg.depth
-        x = ConvBnSiLU(w(64), 3, 2, name="stem")(x, train)               # /2
+        d1, d2, d3, d4 = cfg.stage_depths
+        if cfg.flavour == "v8":
+            x = ConvBnSiLU(w(64), 3, 2, name="stem")(x, train)           # /2
+        else:
+            # yolov5.yaml: 6x6 stride-2 pad-2 stem
+            x = ConvBnSiLU(w(64), 6, 2, padding=2, name="stem")(x, train)
         x = ConvBnSiLU(w(128), 3, 2, name="down1")(x, train)             # /4
-        x = block(w(128), d(3), name="c1")(x, train)
+        x = block(w(128), d(d1), name="c1")(x, train)
         x = ConvBnSiLU(w(256), 3, 2, name="down2")(x, train)             # /8
-        p3 = block(w(256), d(6), name="c2")(x, train)
+        p3 = block(w(256), d(d2), name="c2")(x, train)
         x = ConvBnSiLU(w(512), 3, 2, name="down3")(p3, train)            # /16
-        p4 = block(w(512), d(6), name="c3")(x, train)
+        p4 = block(w(512), d(d3), name="c3")(x, train)
         x = ConvBnSiLU(w(1024), 3, 2, name="down4")(p4, train)           # /32
-        x = block(w(1024), d(3), name="c4")(x, train)
+        x = block(w(1024), d(d4), name="c4")(x, train)
         p5 = SPPF(w(1024), name="sppf")(x, train)
         return p3, p4, p5
 
 
 class Neck(nn.Module):
-    """PAN: top-down fusion then bottom-up aggregation."""
+    """PAN: top-down fusion then bottom-up aggregation.
+
+    v8 layout: concat(upsample, skip) -> C2f. v5u layout adds the
+    lateral 1x1 convs of yolov5.yaml (layers 10/14) whose outputs also
+    feed the bottom-up concats (layers 19/22).
+    """
 
     cfg: YoloConfig
 
@@ -169,66 +206,96 @@ class Neck(nn.Module):
         block = C2f if cfg.flavour == "v8" else C3
         w, d = cfg.width, cfg.depth
         p3, p4, p5 = feats
+        if cfg.flavour == "v8":
+            h4 = block(w(512), d(3), shortcut=False, name="td4")(
+                jnp.concatenate([_upsample2x(p5), p4], axis=-1), train)
+            h3 = block(w(256), d(3), shortcut=False, name="td3")(
+                jnp.concatenate([_upsample2x(h4), p3], axis=-1), train)
+            n4 = block(w(512), d(3), shortcut=False, name="bu4")(
+                jnp.concatenate([
+                    ConvBnSiLU(w(256), 3, 2, name="d3")(h3, train), h4],
+                    axis=-1), train)
+            n5 = block(w(1024), d(3), shortcut=False, name="bu5")(
+                jnp.concatenate([
+                    ConvBnSiLU(w(512), 3, 2, name="d4")(n4, train), p5],
+                    axis=-1), train)
+            return h3, n4, n5
+        # v5u
+        l5 = ConvBnSiLU(w(512), 1, name="lat5")(p5, train)
         h4 = block(w(512), d(3), shortcut=False, name="td4")(
-            jnp.concatenate([_upsample2x(p5), p4], axis=-1), train)
+            jnp.concatenate([_upsample2x(l5), p4], axis=-1), train)
+        l4 = ConvBnSiLU(w(256), 1, name="lat4")(h4, train)
         h3 = block(w(256), d(3), shortcut=False, name="td3")(
-            jnp.concatenate([_upsample2x(h4), p3], axis=-1), train)
+            jnp.concatenate([_upsample2x(l4), p3], axis=-1), train)
         n4 = block(w(512), d(3), shortcut=False, name="bu4")(
             jnp.concatenate([
-                ConvBnSiLU(w(256), 3, 2, name="d3")(h3, train), h4], axis=-1),
-            train)
+                ConvBnSiLU(w(256), 3, 2, name="d3")(h3, train), l4],
+                axis=-1), train)
         n5 = block(w(1024), d(3), shortcut=False, name="bu5")(
             jnp.concatenate([
-                ConvBnSiLU(w(512), 3, 2, name="d4")(n4, train), p5], axis=-1),
-            train)
+                ConvBnSiLU(w(512), 3, 2, name="d4")(n4, train), l5],
+                axis=-1), train)
         return h3, n4, n5
 
 
 class DetectHead(nn.Module):
-    """Decoupled anchor-free head: cls logits + DFL box distribution."""
+    """Decoupled anchor-free head: cls logits + DFL box distribution.
+
+    Channel widths follow Ultralytics Detect exactly (computed from the
+    P3 channel count, shared by all levels) so checkpoints import 1:1.
+    """
 
     cfg: YoloConfig
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         cfg = self.cfg
+        p3c = feats[0].shape[-1]
+        c2 = max(16, p3c // 4, 4 * cfg.reg_max)
+        c3 = max(p3c, min(cfg.num_classes, 100))
         outs = []
         for i, f in enumerate(feats):
-            c = f.shape[-1]
-            box = ConvBnSiLU(max(c, 64), 3, name=f"box1_{i}")(f, train)
-            box = ConvBnSiLU(max(c, 64), 3, name=f"box2_{i}")(box, train)
-            box = nn.Conv(4 * cfg.reg_max, (1, 1), name=f"box_out_{i}")(box)
-            cls = ConvBnSiLU(max(c, 64), 3, name=f"cls1_{i}")(f, train)
-            cls = ConvBnSiLU(max(c, 64), 3, name=f"cls2_{i}")(cls, train)
-            cls = nn.Conv(cfg.num_classes, (1, 1), name=f"cls_out_{i}")(cls)
+            box = ConvBnSiLU(c2, 3, name=f"cv2.{i}.0")(f, train)
+            box = ConvBnSiLU(c2, 3, name=f"cv2.{i}.1")(box, train)
+            box = nn.Conv(4 * cfg.reg_max, (1, 1), name=f"cv2.{i}.2")(box)
+            cls = ConvBnSiLU(c3, 3, name=f"cv3.{i}.0")(f, train)
+            cls = ConvBnSiLU(c3, 3, name=f"cv3.{i}.1")(cls, train)
+            cls = nn.Conv(cfg.num_classes, (1, 1), name=f"cv3.{i}.2")(cls)
             outs.append({"box": box, "cls": cls})
         return outs
 
 
 class ProtoNet(nn.Module):
-    """Mask prototype network on P3 (upsampled to /4)."""
+    """Ultralytics ``Proto``: conv3 -> learned 2x2/s2 transposed-conv
+    upsample -> conv3 -> 1x1 Conv to num_protos (all Conv+BN+SiLU except
+    the transpose)."""
 
     cfg: YoloConfig
 
     @nn.compact
     def __call__(self, p3, train: bool = False):
-        c = max(p3.shape[-1], 32)
-        x = ConvBnSiLU(c, 3, name="cv1")(p3, train)
-        x = _upsample2x(x)
-        x = ConvBnSiLU(c, 3, name="cv2")(x, train)
-        return nn.Conv(self.cfg.num_protos, (1, 1), name="out")(x)
+        c_ = self.cfg.proto_channels
+        x = ConvBnSiLU(c_, 3, name="cv1")(p3, train)
+        x = nn.ConvTranspose(c_, (2, 2), strides=(2, 2),
+                             name="upsample")(x)
+        x = ConvBnSiLU(c_, 3, name="cv2")(x, train)
+        return ConvBnSiLU(self.cfg.num_protos, 1, name="cv3")(x, train)
 
 
 class MaskCoeffHead(nn.Module):
+    """Ultralytics ``Segment.cv4``: per-level 3-layer coefficient branch."""
+
     cfg: YoloConfig
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        c4 = max(feats[0].shape[-1] // 4, self.cfg.num_protos)
         outs = []
         for i, f in enumerate(feats):
-            h = ConvBnSiLU(max(f.shape[-1], 32), 3, name=f"cv_{i}")(f, train)
+            h = ConvBnSiLU(c4, 3, name=f"cv4.{i}.0")(f, train)
+            h = ConvBnSiLU(c4, 3, name=f"cv4.{i}.1")(h, train)
             outs.append(nn.Conv(self.cfg.num_protos, (1, 1),
-                                name=f"out_{i}")(h))
+                                name=f"cv4.{i}.2")(h))
         return outs
 
 
