@@ -23,8 +23,13 @@ Losses (RT-DETR/D-FINE recipe):
   corner distances projected onto the non-uniform ``weighting_function``
   grid (interpolated two-bin CE), IoU-weighted
 - auxiliary: same losses on every intermediate decoder layer + the
-  encoder top-k head. (DDF self-distillation is omitted; it only shapes
-  gradients between decoder layers and does not change capability.)
+  encoder top-k head
+- DDF: decoupled distillation focal — every earlier decoder layer's
+  corner distributions are distilled (temperature-KL, T=5) against the
+  FINAL layer's stop-gradient distributions (D-FINE's GO-LSD), weighted
+  by matched IoU on matched queries / teacher confidence elsewhere, with
+  matched/unmatched parts balanced by sqrt-counts (HF ``loss_local``
+  semantics, `transformers/loss/loss_d_fine.py` DDF branch).
 """
 
 from __future__ import annotations
@@ -148,6 +153,35 @@ def _fgl_loss(pred_corners: jnp.ndarray, target_dist: jnp.ndarray,
     return jnp.sum(ce.mean(-1) * weight)
 
 
+def _ddf_loss(student_corners: jnp.ndarray, teacher_corners: jnp.ndarray,
+              weight: jnp.ndarray, pos_mask: jnp.ndarray,
+              max_num_bins: int, temperature: float = 5.0) -> jnp.ndarray:
+    """Decoupled distillation focal (GO-LSD self-distillation).
+
+    student/teacher corners (B, Q, 4*(bins+1)); weight (B, Q) — matched
+    IoU at matched queries, teacher max-prob elsewhere (stop-gradient);
+    pos_mask (B, Q) in {0, 1} marking real matched queries. Matched and
+    unmatched means are combined with sqrt-count weights; the HF
+    ``batch_scale`` factor cancels in that weighted average.
+    """
+    n_bins = max_num_bins + 1
+    B, Q = pos_mask.shape
+    s = student_corners.reshape(B, Q, 4, n_bins) / temperature
+    t = jax.lax.stop_gradient(teacher_corners).reshape(
+        B, Q, 4, n_bins) / temperature
+    q = jax.nn.softmax(t, axis=-1)
+    kl = jnp.sum(q * (jax.nn.log_softmax(t, -1) - jax.nn.log_softmax(s, -1)),
+                 axis=-1)                                    # (B, Q, 4)
+    kl = (temperature ** 2) * kl.mean(-1) * jax.lax.stop_gradient(weight)
+    pos = jnp.sum(pos_mask)
+    neg = B * Q - pos
+    mean_pos = jnp.sum(kl * pos_mask) / jnp.maximum(pos, 1.0)
+    mean_neg = jnp.sum(kl * (1.0 - pos_mask)) / jnp.maximum(neg, 1.0)
+    wp = jnp.sqrt(pos)
+    wn = jnp.sqrt(neg)
+    return (mean_pos * wp + mean_neg * wn) / jnp.maximum(wp + wn, 1e-8)
+
+
 @functools.partial(jax.jit, static_argnames=("num_labels", "max_num_bins",
                                              "reg_scale", "up"))
 def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
@@ -155,7 +189,8 @@ def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
                     num_labels: int, max_num_bins: int = 32,
                     reg_scale: float = 4.0, up: float = 0.5,
                     cls_weight: float = 1.0, l1_weight: float = 5.0,
-                    giou_weight: float = 2.0, fgl_weight: float = 0.15
+                    giou_weight: float = 2.0, fgl_weight: float = 0.15,
+                    ddf_weight: float = 1.5
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full D-FINE training loss over final + auxiliary heads.
 
@@ -213,26 +248,47 @@ def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
             fgl = _fgl_loss(m_corners.reshape(-1, corners.shape[-1]),
                             tdist.reshape(-1, 4), project, w, max_num_bins)
             head_total = head_total + fgl_weight * fgl / num_boxes
-        return head_total, loss_cls, loss_l1, loss_giou
+        return head_total, loss_cls, loss_l1, loss_giou, match, iou
 
     # final + intermediate decoder heads
+    all_corners = outputs["intermediate_corners"]
+    # DDF teacher: the FINAL layer's corner distributions / confidences
+    # (absent in heads that carry no FDR corners, e.g. temporal variants)
+    teacher_corners = all_corners[-1] if all_corners else None
+    teacher_conf = jax.lax.stop_gradient(
+        jax.nn.sigmoid(outputs["intermediate_logits"][-1]).max(-1))
+    loss_ddf = 0.0
     for i in range(n_heads):
         corners = None
         refs = None
-        n_extra = n_heads - len(outputs["intermediate_corners"])
+        n_extra = n_heads - len(all_corners)
         if i >= n_extra:
-            corners = outputs["intermediate_corners"][i - n_extra]
+            corners = all_corners[i - n_extra]
             refs = outputs["initial_references"][i - n_extra]
-        ht, lc, ll, lg = one_head(outputs["intermediate_logits"][i],
-                                  outputs["intermediate_boxes"][i],
-                                  corners, refs)
+        ht, lc, ll, lg, match, iou = one_head(
+            outputs["intermediate_logits"][i],
+            outputs["intermediate_boxes"][i], corners, refs)
         total = total + ht
         if i == n_heads - 1:
             aux.update({"cls": lc, "l1": ll, "giou": lg})
+        # DDF: distil every EARLIER layer's corner bins toward the final
+        # layer's (the final layer distils nothing — it IS the teacher)
+        if corners is not None and i < n_heads - 1:
+            B, Q = teacher_conf.shape
+            b_idx = jnp.arange(B)[:, None]
+            pos_mask = jnp.zeros((B, Q)).at[b_idx, match].max(gt_mask)
+            w_at = teacher_conf[b_idx, match]
+            w = teacher_conf.at[b_idx, match].set(
+                jnp.where(gt_mask > 0, iou, w_at))
+            loss_ddf = loss_ddf + _ddf_loss(corners, teacher_corners, w,
+                                            pos_mask, max_num_bins)
+    if not isinstance(loss_ddf, float):
+        total = total + ddf_weight * loss_ddf
+        aux["ddf"] = loss_ddf
 
     # encoder head
-    ht, _, _, _ = one_head(outputs["enc_topk_logits"],
-                           outputs["enc_topk_bboxes"])
+    ht, _, _, _, _, _ = one_head(outputs["enc_topk_logits"],
+                                 outputs["enc_topk_bboxes"])
     total = total + ht
     aux["total"] = total
     return total, aux

@@ -75,6 +75,41 @@ def dfine_setup():
     return model, variables, x, (gt_boxes, gt_classes, gt_mask)
 
 
+def test_ddf_self_distillation(dfine_setup):
+    """GO-LSD: zero when student==teacher; positive otherwise; present in
+    the criterion aux and contributing ddf_weight * ddf to the total."""
+    from pautdx.losses.detr import _ddf_loss
+
+    model, variables, x, (gt_boxes, gt_classes, gt_mask) = dfine_setup
+    rng = np.random.default_rng(0)
+    B, Q, nb = 2, 5, TINY.max_num_bins
+    teacher = jnp.asarray(rng.normal(size=(B, Q, 4 * (nb + 1))), jnp.float32)
+    w = jnp.ones((B, Q))
+    mask = jnp.zeros((B, Q)).at[:, 0].set(1.0)
+    z = _ddf_loss(teacher, teacher, w, mask, nb)
+    assert abs(float(z)) < 1e-6
+    student = teacher + 0.5
+    # uniform shift is softmax-invariant -> still zero
+    assert abs(float(_ddf_loss(student, teacher, w, mask, nb))) < 1e-5
+    student = jnp.asarray(rng.normal(size=teacher.shape), jnp.float32)
+    pos = float(_ddf_loss(student, teacher, w, mask, nb))
+    assert pos > 0
+    # gradient flows to the student only
+    g = jax.grad(lambda s: _ddf_loss(s, teacher, w, mask, nb))(student)
+    assert float(jnp.abs(g).sum()) > 0
+
+    out = model.apply(variables, x, train=False)
+    loss_with, aux = dfine_criterion(out, gt_boxes, gt_classes, gt_mask,
+                                     TINY.num_labels, TINY.max_num_bins)
+    loss_without, _ = dfine_criterion(out, gt_boxes, gt_classes, gt_mask,
+                                      TINY.num_labels, TINY.max_num_bins,
+                                      ddf_weight=0.0)
+    assert "ddf" in aux and np.isfinite(float(aux["ddf"]))
+    np.testing.assert_allclose(float(loss_with),
+                               float(loss_without) + 1.5 * float(aux["ddf"]),
+                               rtol=1e-5)
+
+
 def test_dfine_criterion_finite_and_trains(dfine_setup):
     model, variables, x, (gt_boxes, gt_classes, gt_mask) = dfine_setup
     params = variables["params"]
