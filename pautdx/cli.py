@@ -244,61 +244,79 @@ def _cmd_train_bscan(args) -> None:
     print(f"checkpoints in {args.out}")
 
 
-def _cmd_predict_bscan(args) -> None:
-    """Folder batch predict on rendered B-scans with a fresh or restored
-    detector (~ `yolo/yolo_folder_eval.py`, `eval_temp_dfine.py`)."""
-    import numpy as np
+def _build_detector_forward(detector: str, num_classes: int, scale: str,
+                            size: int, checkpoint, threshold: float):
+    """Jitted detector forward: images (T, H, W, 3) -> fixed-size
+    detections {boxes, scores, classes, valid}. Shared by predict-bscan
+    and inspect."""
     import jax
     import jax.numpy as jnp
 
-    from pautdx.data.bscan import render_volume_dataset
-    from pautdx.data.volume import parse_json_volume, parse_txt_tree
-    from pautdx.ops import dense_to_detections
-
-    os.makedirs(args.out, exist_ok=True)
-    if args.detector == "yolo":
+    if detector == "yolo":
         from pautdx.models.vision import YOLO, YoloConfig, decode_boxes
+        from pautdx.ops import dense_to_detections
 
-        cfg = YoloConfig(num_classes=args.num_classes, scale=args.scale)
+        cfg = YoloConfig(num_classes=num_classes, scale=scale)
         model = YOLO(cfg)
-        init = jax.jit(lambda k: model.init(
-            {"params": k}, jnp.zeros((1, args.size, args.size, 3)),
-            train=False))
-        variables = init(jax.random.PRNGKey(0))
-        if args.checkpoint:
-            from pautdx.train import CheckpointManager
-            state, _ = CheckpointManager(args.checkpoint).restore("latest")
-            variables = {"params": state["params"],
-                         "batch_stats": state.get("batch_stats", {})}
+    else:
+        from pautdx.models.vision.dfine import DFine, dfine_nano
 
+        cfg = dfine_nano(num_labels=num_classes)
+        model = DFine(cfg)
+    init = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((1, size, size, 3)), train=False))
+    variables = init(jax.random.PRNGKey(0))
+    if checkpoint:
+        from pautdx.train import CheckpointManager
+        state, _ = CheckpointManager(checkpoint).restore("latest")
+        variables = {"params": state["params"],
+                     "batch_stats": state.get("batch_stats", {})}
+
+    if detector == "yolo":
         @jax.jit
         def forward(images):
             out = model.apply(variables, images, train=False)
-            d = decode_boxes(out, (args.size, args.size), cfg)
-            return dense_to_detections(d, score_threshold=args.threshold,
+            d = decode_boxes(out, (size, size), cfg)
+            return dense_to_detections(d, score_threshold=threshold,
                                        top_k=64, max_det=16)
     else:
-        from pautdx.models.vision.dfine import DFine, dfine_nano, post_process
-
-        cfg = dfine_nano(num_labels=args.num_classes)
-        model = DFine(cfg)
-        init = jax.jit(lambda k: model.init(
-            {"params": k}, jnp.zeros((1, args.size, args.size, 3)),
-            train=False))
-        variables = init(jax.random.PRNGKey(0))
-        if args.checkpoint:
-            from pautdx.train import CheckpointManager
-            state, _ = CheckpointManager(args.checkpoint).restore("latest")
-            variables = {"params": state["params"],
-                         "batch_stats": state.get("batch_stats", {})}
+        from pautdx.models.vision.dfine import post_process
 
         @jax.jit
         def forward(images):
             out = model.apply(variables, images, train=False)
             return post_process(out["logits"], out["pred_boxes"],
-                                (args.size, args.size),
-                                threshold=args.threshold, max_det=16)
+                                (size, size), threshold=threshold,
+                                max_det=16)
+    return forward
 
+
+def _iter_volumes(data_dir: str):
+    """Yield (sequence_name, ParsedVolume) for every JSON volume / txt
+    tree under ``data_dir``."""
+    from pautdx.data.volume import parse_json_volume, parse_txt_tree
+
+    for entry in sorted(os.listdir(data_dir)):
+        path = os.path.join(data_dir, entry)
+        if entry.endswith(".json"):
+            yield entry[:-5], parse_json_volume(path)
+        elif os.path.isdir(path):
+            yield entry, parse_txt_tree(data_dir, entry)
+
+
+def _cmd_predict_bscan(args) -> None:
+    """Folder batch predict on rendered B-scans with a fresh or restored
+    detector (~ `yolo/yolo_folder_eval.py`, `eval_temp_dfine.py`)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pautdx.data.bscan import render_volume_dataset
+    from pautdx.data.volume import parse_json_volume, parse_txt_tree
+
+    os.makedirs(args.out, exist_ok=True)
+    forward = _build_detector_forward(args.detector, args.num_classes,
+                                      args.scale, args.size,
+                                      args.checkpoint, args.threshold)
     results = {}
     for entry in sorted(os.listdir(args.data)):
         path = os.path.join(args.data, entry)
@@ -332,6 +350,78 @@ def _cmd_predict_bscan(args) -> None:
     with open(os.path.join(args.out, "detections.json"), "w") as f:
         json.dump(results, f)
     print(f"detections for {len(results)} sequences in {args.out}")
+
+
+def _cmd_inspect(args) -> None:
+    """Interactive HTML inspector — the reference's PyQt6 QA apps
+    (`display_defects.py`, `signal_visualizer.py`, `model_tester.py`)
+    as a single self-contained browser page (headless-friendly)."""
+    import numpy as np
+
+    if args.mode == "bscan":
+        import jax.numpy as jnp
+
+        from pautdx.data.bscan import render_volume_dataset
+        from pautdx.viz.inspect import build_bscan_inspector
+
+        forward = None
+        if args.checkpoint:
+            forward = _build_detector_forward(
+                args.detector, args.num_classes, args.scale, args.size,
+                args.checkpoint, args.threshold)
+        sequences = []
+        for seq, vol in _iter_volumes(args.data):
+            imgs, ann = render_volume_dataset(vol, args.size, args.size)
+            gt = []
+            for t in range(imgs.shape[0]):
+                from pautdx.data.bscan import bbox_xyxy_from_schema
+                gt.append([
+                    {"box": list(bbox_xyxy_from_schema(d["bbox"])),
+                     "label": d["label"]}
+                    for d in ann.get(f"{t}.png", [])])
+            pred = None
+            if forward is not None:
+                frames = np.repeat(
+                    imgs[..., None], 3, axis=-1).astype(np.float32)
+                det = forward(jnp.asarray(frames))
+                pred = []
+                for t in range(imgs.shape[0]):
+                    valid = np.nonzero(np.asarray(det["valid"][t]))[0]
+                    pred.append([
+                        {"box": [float(v)
+                                 for v in np.asarray(det["boxes"][t][i])],
+                         "label": int(det["classes"][t][i]),
+                         "score": float(det["scores"][t][i])}
+                        for i in valid])
+            sequences.append({"name": seq, "images": imgs,
+                              "gt": gt, "pred": pred})
+        build_bscan_inspector(sequences, args.out)
+    else:
+        from pautdx.eval.report import prediction_map
+        from pautdx.viz.inspect import build_signal_inspector
+
+        predict = meta = None
+        if args.checkpoint:
+            predict, meta = _load_signal_model(args.checkpoint)
+        sequences = []
+        for seq, vol in _iter_volumes(args.data):
+            heat = None
+            if predict is not None:
+                heat = np.nan_to_num(
+                    prediction_map(predict, vol, meta.get("seq_len", 50)))
+            for bi, bk in enumerate(vol.beam_keys):
+                infos = vol.scan_infos[bk]
+                sequences.append({
+                    "name": f"{seq}/{bk}",
+                    "signals": vol.signals[bk],
+                    "labels": [i.binary_label for i in infos],
+                    "positions": [list(i.position) for i in infos],
+                    "label_names": [i.label for i in infos],
+                    "probs": heat[bi][:len(infos)] if heat is not None
+                    else None,
+                })
+        build_signal_inspector(sequences, args.out)
+    print(f"inspector page: {args.out}")
 
 
 def _cmd_export(args) -> None:
@@ -590,6 +680,19 @@ def main(argv=None) -> None:
     pb.add_argument("--threshold", type=float, default=0.3)
     pb.add_argument("--overlays", action="store_true")
     pb.set_defaults(fn=_cmd_predict_bscan)
+
+    ins = sub.add_parser("inspect")
+    ins.add_argument("--data", required=True)
+    ins.add_argument("--mode", choices=("bscan", "signal"), default="bscan")
+    ins.add_argument("--out", default="inspector.html")
+    ins.add_argument("--checkpoint")
+    ins.add_argument("--detector", choices=("yolo", "dfine"),
+                     default="dfine")
+    ins.add_argument("--size", type=int, default=320)
+    ins.add_argument("--num-classes", type=int, default=2)
+    ins.add_argument("--scale", default="n")
+    ins.add_argument("--threshold", type=float, default=0.3)
+    ins.set_defaults(fn=_cmd_inspect)
 
     ex = sub.add_parser("export")
     ex.add_argument("--checkpoint", required=True)
