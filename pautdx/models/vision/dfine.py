@@ -79,6 +79,10 @@ class DFineConfig:
     # remain): ~8x fewer gather rows on TPU. pautdx-native presets only —
     # breaks HF checkpoint parity.
     decoder_shared_points: bool = False
+    # query selection top-k: "exact" (sort-based, HF parity) or "approx"
+    # (TPU-native jax.lax.approx_max_k — avoids a full sort over all
+    # anchors; selection is a heuristic, so approximate recall is free)
+    query_topk: str = "exact"
 
     @property
     def head_dim(self) -> int:
@@ -89,13 +93,22 @@ class DFineConfig:
         return [self.decoder_n_points] * self.num_feature_levels
 
 
-def dfine_nano(num_labels: int = 2, tpu_stem: bool = True) -> DFineConfig:
+def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
+               levels: int = 2) -> DFineConfig:
     """Small preset in the spirit of D-FINE-N: shallow decoder, slim dims.
 
     pautdx-native preset (no HF checkpoint to match), so the backbone uses
     the TPU-friendly patchify stem by default; pass ``tpu_stem=False`` for
     the HGNet dual-path stem.
+
+    ``levels=2`` (default) drops the stride-8 FPN level: the model is
+    HBM-bandwidth bound and the 80x80 neck/deformable level is ~40% of
+    the per-frame traffic at 640px, while PAUT defects are large blobs
+    that a 16px grid localizes fine (quality measured, not asserted:
+    tools/bench_accuracy.py evaluates this exact serving preset's
+    mAP@0.5). ``levels=3`` restores the full HF-style pyramid.
     """
+    strides = (8, 16, 32)[3 - levels:]
     return DFineConfig(
         num_labels=num_labels, d_model=128, encoder_hidden_dim=128,
         decoder_layers=3, decoder_ffn_dim=512, encoder_ffn_dim=512,
@@ -107,7 +120,10 @@ def dfine_nano(num_labels: int = 2, tpu_stem: bool = True) -> DFineConfig:
         # one 256-byte row per point instead of 8x 32-byte rows (~8x
         # fewer taps; per-head attention weights unchanged)
         decoder_shared_points=True,
-        backbone=HGNetConfig(stem="patchify" if tpu_stem else "hgnet"),
+        query_topk="approx",
+        num_feature_levels=levels, feat_strides=strides,
+        backbone=HGNetConfig(stem="patchify" if tpu_stem else "hgnet",
+                             out_indices=tuple(range(4 - levels, 4))),
     )
 
 
@@ -500,7 +516,10 @@ class DFine(nn.Module):
             gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
                                  np.arange(w, dtype=np.float32), indexing="ij")
             gxy = (np.stack([gx, gy], -1) + 0.5) / np.asarray([w, h], np.float32)
-            wh = np.ones_like(gxy) * c.anchor_grid_size * (2.0 ** lvl)
+            # anchor wh scales with the level's stride (0.05 * stride/8 —
+            # reduces to HF's 0.05 * 2^lvl for the default (8, 16, 32))
+            wh = np.ones_like(gxy) * c.anchor_grid_size * (
+                c.feat_strides[lvl] / 8.0)
             anchors.append(np.concatenate([gxy, wh], -1).reshape(-1, 4))
         anchors = np.concatenate(anchors, 0)[None]
         eps = 1e-2
@@ -539,14 +558,25 @@ class DFine(nn.Module):
         out_mem = nn.Dense(c.d_model, name="model.enc_output.0")(memory)
         out_mem = nn.LayerNorm(epsilon=1e-5, name="model.enc_output.1")(out_mem)
         enc_class = nn.Dense(c.num_labels, name="model.enc_score_head")(out_mem)
-        enc_coord = MLPHead(c.d_model, 4, 3, name="model.enc_bbox_head")(
-            out_mem).astype(jnp.float32) + anchors
 
         num_queries = min(c.num_queries, enc_class.shape[1])
-        topk_ind = jax.lax.top_k(enc_class.max(-1), num_queries)[1]
+        if c.query_topk == "approx":
+            # TPU-native approximate top-k: no full sort over the anchor
+            # axis. Selection is a heuristic; approximate recall is free.
+            topk_ind = jax.lax.approx_max_k(
+                enc_class.max(-1).astype(jnp.float32), num_queries)[1]
+        else:
+            topk_ind = jax.lax.top_k(enc_class.max(-1), num_queries)[1]
         take = lambda t: jnp.take_along_axis(   # noqa: E731
             t, topk_ind[..., None], axis=1)
-        ref_unact = take(enc_coord)
+        # enc_bbox_head is per-token, so it commutes with the top-k gather:
+        # run it on the SELECTED tokens only (num_queries instead of every
+        # anchor — 56x fewer tokens at nano sizes, identical numerics)
+        sel_anchors = jnp.take_along_axis(
+            jnp.broadcast_to(anchors, (enc_class.shape[0],) + anchors.shape[1:]),
+            topk_ind[..., None], axis=1)
+        ref_unact = MLPHead(c.d_model, 4, 3, name="model.enc_bbox_head")(
+            take(out_mem)).astype(jnp.float32) + sel_anchors
         enc_topk_logits = take(enc_class)
         enc_topk_bboxes = nn.sigmoid(ref_unact)
         target = jax.lax.stop_gradient(take(out_mem))

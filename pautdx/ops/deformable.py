@@ -132,23 +132,60 @@ def ms_deformable_attention_shared(value_levels: List[jnp.ndarray],
     """
     B, Q, total_points, _ = sampling_locations.shape
     n_heads, head_dim = value_levels[0].shape[3], value_levels[0].shape[4]
-    offset = 0
-    sampled = []
-    for lvl, value in enumerate(value_levels):
-        P = num_points_list[lvl]
-        H, W = value.shape[1:3]
-        # heads stay fused in the channel axis: one 256-byte row per tap
-        v = value.reshape(B, H, W, n_heads * head_dim)
-        v = jax.lax.optimization_barrier(v)
-        loc = sampling_locations[:, :, offset:offset + P, :]
-        x = loc[..., 0] * W - 0.5
-        y = loc[..., 1] * H - 0.5
-        sample = (nearest_sample_nhwc if method == "discrete"
-                  else bilinear_sample_nhwc)
-        s = sample(v, x, y)                          # (B, Q, P, h*d)
-        sampled.append(s.reshape(B, Q, P, n_heads, head_dim))
-        offset += P
-    samples = jnp.concatenate(sampled, axis=2)       # (B, Q, sum_P, h, d)
+    C = n_heads * head_dim
+    if method == "discrete":
+        # ONE gather across ALL levels: nearest-mode taps are single rows,
+        # so every level's (H, W) grid flattens into one (sum HW, C) table
+        # and per-level flat indices (+ level offset) address it. XLA
+        # gathers carry a ~fixed per-op latency — collapsing L levels into
+        # one op is a direct ~Lx cut of that latency per decoder layer.
+        flat = jnp.concatenate(
+            [v.reshape(B, -1, C) for v in value_levels], axis=1)
+        flat = jax.lax.optimization_barrier(flat)
+        idx_parts = []
+        offset = 0
+        base = 0
+        for lvl, value in enumerate(value_levels):
+            P = num_points_list[lvl]
+            H, W = value.shape[1:3]
+            loc = sampling_locations[:, :, offset:offset + P, :]
+            # HF discrete: floor(loc * size + 0.5), clamped into the grid
+            xi = jnp.clip((loc[..., 0] * W + 0.5).astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip((loc[..., 1] * H + 0.5).astype(jnp.int32), 0, H - 1)
+            idx_parts.append(yi * W + xi + base)
+            offset += P
+            base += H * W
+        idx = jnp.concatenate(idx_parts, axis=2)     # (B, Q, sum_P)
+        b_idx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, Q * total_points))
+        starts = jnp.stack(
+            [b_idx, idx.reshape(B, Q * total_points)], -1
+        ).reshape(B * Q * total_points, 2)
+        rows = jax.lax.gather(
+            flat, starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(0, 1),
+                start_index_map=(0, 1)),
+            slice_sizes=(1, 1, C),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        samples = rows.reshape(B, Q, total_points, n_heads, head_dim)
+    else:
+        offset = 0
+        sampled = []
+        for lvl, value in enumerate(value_levels):
+            P = num_points_list[lvl]
+            H, W = value.shape[1:3]
+            # heads stay fused in the channel axis: one 256-byte row per tap
+            v = value.reshape(B, H, W, C)
+            v = jax.lax.optimization_barrier(v)
+            loc = sampling_locations[:, :, offset:offset + P, :]
+            x = loc[..., 0] * W - 0.5
+            y = loc[..., 1] * H - 0.5
+            s = bilinear_sample_nhwc(v, x, y)        # (B, Q, P, h*d)
+            sampled.append(s.reshape(B, Q, P, n_heads, head_dim))
+            offset += P
+        samples = jnp.concatenate(sampled, axis=2)   # (B, Q, sum_P, h, d)
     w = jnp.moveaxis(attention_weights, 2, 3)[..., None]  # (B, Q, sum_P, h, 1)
     out = jnp.sum(samples * w.astype(samples.dtype), axis=2)
     return out.reshape(B, Q, n_heads * head_dim)
