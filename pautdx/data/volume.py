@@ -46,13 +46,20 @@ class ParsedVolume:
         return np.stack([self.signals[k][scan_idx] for k in self.beam_keys])
 
 
-def parse_json_volume(path_or_dict) -> ParsedVolume:
+def parse_json_volume(path_or_dict, use_native: bool = True) -> ParsedVolume:
     """Parse the reference JSON-volume schema ``{beam: {scan_key: signal}}``.
 
     Scan values may be raw lists or ``{"signal": [...]}`` dicts
     (`json_dataset.py:111-116`). Scan keys are sorted by integer index.
+    Path inputs route through the native one-pass C++ scanner when
+    available (``pautdx.native.parse_json_volume_fast``, parity-tested);
+    dict inputs and fallback use the pure-Python parser below.
     """
     if isinstance(path_or_dict, (str, os.PathLike)):
+        if use_native:
+            from pautdx import native
+            if native.native_available():
+                return native.parse_json_volume_fast(str(path_or_dict))
         with open(path_or_dict) as f:
             data = json.load(f)
     else:
@@ -93,15 +100,25 @@ def parse_json_volume(path_or_dict) -> ParsedVolume:
     return ParsedVolume(beam_keys, [float(a) for a in angles], signals, infos)
 
 
-def parse_txt_tree(root: str, file_folder: str) -> ParsedVolume:
+def parse_txt_tree(root: str, file_folder: str,
+                   use_native: bool = True) -> ParsedVolume:
     """Parse ``root/<file_folder>/<beam>_<angle>/<scan>_<label>[_s-e].txt``.
 
     Matches `DS_preprocessing.py:53-97`: beams sorted by float angle, one
-    float column per txt file, filename grammar for labels.
+    float column per txt file, filename grammar for labels. The per-file
+    read+parse runs through the native parallel mmap loader when the C++
+    library is available (``pautdx.native.parse_ascan_tree_fast``);
+    grouping/sorting semantics are identical either way.
     """
     base = os.path.join(root, file_folder)
     beams = grammar.sort_beams(os.listdir(base))
     angles = [grammar.beam_angle(b) for b in beams]
+
+    tree = None
+    if use_native:
+        from pautdx import native
+        tree = native.parse_ascan_tree_fast(base)
+
     signals: Dict[str, np.ndarray] = {}
     infos: Dict[str, List[ScanInfo]] = {}
     for beam in beams:
@@ -109,7 +126,11 @@ def parse_txt_tree(root: str, file_folder: str) -> ParsedVolume:
         files = sorted(os.listdir(beam_dir), key=lambda f: int(f.split("_")[0]))
         rows, row_infos = [], []
         for fn in files:
-            rows.append(np.loadtxt(os.path.join(beam_dir, fn), dtype=np.float32))
+            if tree is not None:
+                rows.append(tree[f"{beam}/{fn}"])
+            else:
+                rows.append(np.loadtxt(os.path.join(beam_dir, fn),
+                                       dtype=np.float32))
             row_infos.append(grammar.parse_scan_filename(fn))
         signals[beam] = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
         infos[beam] = row_infos

@@ -36,7 +36,7 @@ def _build() -> Optional[ctypes.CDLL]:
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB_PATH, _SRC],
+                 "-pthread", "-o", _LIB_PATH, _SRC],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.parse_floats_file.restype = ctypes.c_int64
@@ -50,6 +50,14 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.parse_ascan_tree.restype = ctypes.c_int64
+        lib.parse_ascan_tree.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         return lib
     except Exception:
         _build_failed = True
@@ -93,7 +101,7 @@ def parse_json_volume_fast(path: str,
 
     lib = _get_lib()
     if lib is None:
-        return parse_json_volume(path)
+        return parse_json_volume(path, use_native=False)
     values = np.empty(value_capacity, np.float32)
     lengths = np.empty(1 << 20, np.int64)
     keys = ctypes.create_string_buffer(key_capacity)
@@ -108,7 +116,7 @@ def parse_json_volume_fast(path: str,
         ctypes.byref(n_values), ctypes.byref(n_arrays),
         ctypes.byref(n_key_bytes))
     if rc != 0:
-        return parse_json_volume(path)
+        return parse_json_volume(path, use_native=False)
     all_keys = keys.raw[: n_key_bytes.value].decode().split("\n")[:-1]
     n_arr = n_arrays.value
     # keys arrive in document order: beam key, then its scan keys (one per
@@ -116,7 +124,7 @@ def parse_json_volume_fast(path: str,
     # before the next key... we reconstruct via counts: each scan key owns
     # exactly one array, beams own zero. Walk keys and assign arrays.
     if len(all_keys) != n_arr + _count_beams(all_keys, n_arr):
-        return parse_json_volume(path)  # schema mismatch -> safe fallback
+        return parse_json_volume(path, use_native=False)  # schema mismatch
 
     offsets = np.concatenate([[0], np.cumsum(lengths[:n_arr])])
     signals = {}
@@ -169,8 +177,50 @@ def parse_json_volume_fast(path: str,
         return ParsedVolume(beam_keys, [float(a) for a in angles],
                             signals, infos)
     except Exception:
-        return parse_json_volume(path)
+        return parse_json_volume(path, use_native=False)
 
 
 def _count_beams(all_keys, n_arrays: int) -> int:
     return len(all_keys) - n_arrays
+
+
+def parse_ascan_tree_fast(base_dir: str,
+                          value_capacity: int = 0,
+                          n_threads: int = 0):
+    """Parallel mmap parse of an A-scan txt tree (``base/<beam>/<scan>.txt``).
+
+    Returns ``{relpath: float32 array}`` in walk order, or ``None`` when
+    the native library is unavailable / reports an error (callers fall
+    back to the per-file Python loop). The directory walk, the mmap'd
+    float parsing, and the thread pool all live in C++
+    (``pautdx_io.cpp::parse_ascan_tree``).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if not value_capacity:
+        # one float per ~2 text bytes is a safe upper bound; sizing from
+        # the real tree keeps the output buffer (and its page faults)
+        # proportional to the data instead of a fixed huge allocation
+        total = sum(os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(base_dir) for f in fs)
+        value_capacity = max(total // 2 + 4096, 1 << 16)
+    values = np.empty(value_capacity, np.float32)
+    lengths = np.empty(1 << 20, np.int64)
+    paths = ctypes.create_string_buffer(1 << 22)
+    n_files = ctypes.c_int64()
+    n_values = ctypes.c_int64()
+    n_path_bytes = ctypes.c_int64()
+    rc = lib.parse_ascan_tree(
+        base_dir.encode(),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), value_capacity,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 1 << 20,
+        paths, 1 << 22,
+        ctypes.byref(n_files), ctypes.byref(n_values),
+        ctypes.byref(n_path_bytes), n_threads)
+    if rc != 0:
+        return None
+    rel = paths.raw[: n_path_bytes.value].decode().split("\n")[:-1]
+    offsets = np.concatenate([[0], np.cumsum(lengths[: n_files.value])])
+    return {rel[i]: values[offsets[i]:offsets[i + 1]].copy()
+            for i in range(n_files.value)}
