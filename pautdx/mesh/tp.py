@@ -1,0 +1,103 @@
+"""Tensor-parallel sharding rules (Megatron-style) for transformer blocks.
+
+The reference is single-GPU, so parallelism here is designed TPU-first
+rather than ported: a 2-D ``(dp, tp)`` mesh where ``dp`` shards the batch
+and ``tp`` shards the transformer weight matrices column-/row-wise.
+With GSPMD it is enough to place ``NamedSharding``s on the parameters —
+XLA inserts the matching collectives (all-gather after column-parallel
+matmuls feeding a row-parallel one becomes a single psum of the row
+output, the classic Megatron pattern) and propagates shardings through
+reshapes like ``(..., d) -> (..., heads, dh)`` because the head axis is
+major in ``d``.
+
+Rules (path regex -> PartitionSpec), applied to any flax param tree:
+
+- ``q/k/v_proj`` and ``fc1`` kernels: column-parallel — out dim over tp;
+  their biases over tp as well.
+- ``out_proj`` and ``fc2`` kernels: row-parallel — in dim over tp; their
+  biases replicated (the psum output is already full-size).
+- everything else (convs, norms, embeddings, heads): replicated.
+
+A rule only fires when the sharded dim divides evenly by the tp axis
+size; otherwise that leaf stays replicated (correct, just not split).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, spec builder given tp axis name)
+_COL = ("q_proj", "k_proj", "v_proj", "fc1")
+_ROW = ("out_proj", "fc2")
+
+
+def _rules(tp: str):
+    col = "|".join(_COL)
+    row = "|".join(_ROW)
+    return [
+        (re.compile(rf"(?:^|/)(?:{col})/kernel$"), P(None, tp)),
+        (re.compile(rf"(?:^|/)(?:{col})/bias$"), P(tp)),
+        (re.compile(rf"(?:^|/)(?:{row})/kernel$"), P(tp, None)),
+    ]
+
+
+def _path_str(path) -> str:
+    keys = []
+    for k in path:
+        keys.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return "/".join(keys)
+
+
+def tp_spec_tree(params, tp_size: int, tp_axis: str = "tp"):
+    """PartitionSpec pytree for ``params`` under the rules above.
+
+    Leaves whose matched dim is not divisible by ``tp_size`` fall back to
+    replication, so any model/mesh combination is valid.
+    """
+    rules = _rules(tp_axis)
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        for rx, spec in rules:
+            if rx.search(s):
+                dim = next(i for i, a in enumerate(spec) if a == tp_axis)
+                if leaf.ndim > dim and leaf.shape[dim] % tp_size == 0:
+                    return spec
+                return P()
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_shardings(params, mesh: Mesh, tp_axis: str = "tp"):
+    """NamedSharding pytree for ``params`` on ``mesh`` (see tp_spec_tree)."""
+    tp_size = dict(zip(mesh.axis_names, mesh.devices.shape))[tp_axis]
+    specs = tp_spec_tree(params, tp_size, tp_axis)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
+                                  is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params, mesh: Mesh, tp_axis: str = "tp"):
+    """device_put ``params`` with tensor-parallel shardings."""
+    return jax.tree_util.tree_map(jax.device_put, params,
+                                  tp_shardings(params, mesh, tp_axis))
+
+
+def mesh_2d(n_devices: int, tp: int = 2,
+            axis_names: Sequence[str] = ("dp", "tp")) -> Mesh:
+    """(dp, tp) mesh over the first ``n_devices`` devices.
+
+    ``tp`` is clamped to a divisor of ``n_devices`` (falls back to 1), so
+    callers can request tp=2 unconditionally.
+    """
+    import numpy as np
+
+    while tp > 1 and n_devices % tp:
+        tp -= 1
+    devs = np.asarray(jax.devices()[:n_devices]).reshape(
+        n_devices // tp, tp)
+    return Mesh(devs, axis_names=tuple(axis_names))

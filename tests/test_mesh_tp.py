@@ -1,0 +1,83 @@
+"""Tensor-parallel sharding rules (pautdx.mesh.tp) on the virtual mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pautdx.mesh.tp import mesh_2d, shard_params, tp_spec_tree, tp_shardings
+
+
+def _fake_params():
+    k = jax.random.PRNGKey(0)
+    d, f = 16, 32
+    return {
+        "layers.0": {
+            "self_attn": {
+                "q_proj": {"kernel": jnp.ones((d, d)), "bias": jnp.ones(d)},
+                "out_proj": {"kernel": jnp.ones((d, d)), "bias": jnp.ones(d)},
+            },
+            "fc1": {"kernel": jnp.ones((d, f)), "bias": jnp.ones(f)},
+            "fc2": {"kernel": jnp.ones((f, d)), "bias": jnp.ones(d)},
+            "norm": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        },
+        "conv": {"kernel": jax.random.normal(k, (3, 3, 4, 8))},
+    }
+
+
+def test_spec_rules():
+    specs = tp_spec_tree(_fake_params(), tp_size=2)
+    blk = specs["layers.0"]
+    assert blk["self_attn"]["q_proj"]["kernel"] == P(None, "tp")
+    assert blk["self_attn"]["q_proj"]["bias"] == P("tp")
+    assert blk["self_attn"]["out_proj"]["kernel"] == P("tp", None)
+    # row-parallel bias replicated (not matched by any rule)
+    assert blk["self_attn"]["out_proj"]["bias"] == P()
+    assert blk["fc1"]["kernel"] == P(None, "tp")
+    assert blk["fc2"]["kernel"] == P("tp", None)
+    assert blk["norm"]["scale"] == P()
+    assert specs["conv"]["kernel"] == P()
+
+
+def test_indivisible_dim_falls_back_to_replication():
+    params = {"fc1": {"kernel": jnp.ones((4, 6))}}   # 6 % 4 != 0
+    specs = tp_spec_tree(params, tp_size=4)
+    assert specs["fc1"]["kernel"] == P()
+
+
+def test_mesh_2d_clamps_tp():
+    m = mesh_2d(8, tp=2)
+    assert m.devices.shape == (4, 2) and m.axis_names == ("dp", "tp")
+    m = mesh_2d(7, tp=2)                              # 7 % 2 -> tp=1
+    assert m.devices.shape == (7, 1)
+
+
+def test_tp_matmul_chain_matches_replicated():
+    """Column-parallel fc1 + row-parallel fc2 under GSPMD == dense result."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = mesh_2d(8, tp=2)
+    rng = np.random.default_rng(0)
+    params = {
+        "fc1": {"kernel": jnp.asarray(rng.normal(size=(16, 32)), jnp.float32),
+                "bias": jnp.asarray(rng.normal(size=32), jnp.float32)},
+        "fc2": {"kernel": jnp.asarray(rng.normal(size=(32, 16)), jnp.float32),
+                "bias": jnp.asarray(rng.normal(size=16), jnp.float32)},
+    }
+    x = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+
+    def f(p, x):
+        h = jax.nn.relu(x @ p["fc1"]["kernel"] + p["fc1"]["bias"])
+        return h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+
+    want = f(params, x)
+
+    sharded = shard_params(params, mesh)
+    sh = tp_shardings(params, mesh)
+    assert sh["fc1"]["kernel"].spec == P(None, "tp")
+    got = jax.jit(f, in_shardings=(sh, NamedSharding(mesh, P("dp"))))(
+        sharded, jax.device_put(x, NamedSharding(mesh, P("dp"))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
