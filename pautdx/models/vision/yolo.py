@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -373,13 +374,22 @@ def decode_boxes(result: Dict, img_size: Tuple[int, int], cfg: YoloConfig
 
 
 def assemble_masks(protos: jnp.ndarray, coeffs: jnp.ndarray,
-                   boxes: jnp.ndarray, img_size: Tuple[int, int]
-                   ) -> jnp.ndarray:
+                   boxes: jnp.ndarray, img_size: Tuple[int, int],
+                   impl: str = "auto") -> jnp.ndarray:
     """Prototype mask decode: sigmoid(protos @ coeffs), cropped to boxes.
 
     protos (B, Hp, Wp, P); coeffs (B, K, P); boxes (B, K, 4) in image px.
     Returns (B, K, Hp, Wp) masks in [0, 1] (at proto resolution, /4).
+
+    ``impl``: "auto" uses the fused Pallas kernel on TPU (one HBM pass
+    instead of three materialized (B,K,Hp,Wp) intermediates —
+    ops/pallas_mask.py), the XLA path elsewhere; "xla"/"pallas" force.
     """
+    if impl == "pallas" or (impl == "auto"
+                            and jax.default_backend() == "tpu"):
+        from pautdx.ops.pallas_mask import pallas_assemble_masks
+
+        return pallas_assemble_masks(protos, coeffs, boxes, tuple(img_size))
     m = jnp.einsum("bhwp,bkp->bkhw", protos, coeffs)
     m = nn.sigmoid(m)
     B, K, Hp, Wp = m.shape

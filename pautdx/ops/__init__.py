@@ -5,3 +5,4 @@ from pautdx.ops.deformable import (  # noqa: F401
 )
 from pautdx.ops.nms import batched_nms, dense_to_detections, nms  # noqa: F401
 from pautdx.ops.pallas_nms import pallas_nms  # noqa: F401
+from pautdx.ops.pallas_mask import pallas_assemble_masks  # noqa: F401

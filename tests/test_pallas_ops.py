@@ -40,3 +40,40 @@ def test_pallas_nms_suppression_basic():
     out = pallas_nms(boxes, scores, classes, iou_threshold=0.5, top_k=3,
                      max_det=3, interpret=True)
     assert int(out["valid"].sum()) == 2
+
+
+def test_pallas_mask_decode_matches_xla():
+    from pautdx.models.vision.yolo import assemble_masks
+    from pautdx.ops.pallas_mask import pallas_assemble_masks
+
+    rng = np.random.default_rng(3)
+    B, Hp, Wp, P, K = 2, 32, 32, 8, 5
+    protos = jnp.asarray(rng.normal(size=(B, Hp, Wp, P)), jnp.float32)
+    coeffs = jnp.asarray(rng.normal(size=(B, K, P)), jnp.float32)
+    img = (128, 128)
+    xy = rng.uniform(0, 100, (B, K, 2))
+    wh = rng.uniform(10, 28, (B, K, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+
+    want = assemble_masks(protos, coeffs, boxes, img)
+    got = pallas_assemble_masks(protos, coeffs, boxes, img, interpret=True)
+    assert got.shape == (B, K, Hp, Wp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_mask_decode_uneven_tile():
+    from pautdx.models.vision.yolo import assemble_masks
+    from pautdx.ops.pallas_mask import pallas_assemble_masks
+
+    rng = np.random.default_rng(4)
+    B, Hp, Wp, P, K = 1, 24, 16, 4, 3          # Hp % 16 != 0 -> tile fallback
+    protos = jnp.asarray(rng.normal(size=(B, Hp, Wp, P)), jnp.float32)
+    coeffs = jnp.asarray(rng.normal(size=(B, K, P)), jnp.float32)
+    boxes = jnp.asarray([[[0, 0, 40, 40], [10, 20, 50, 60], [0, 0, 64, 96]]],
+                        jnp.float32)
+    want = assemble_masks(protos, coeffs, boxes, (96, 64))
+    got = pallas_assemble_masks(protos, coeffs, boxes, (96, 64),
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
