@@ -156,19 +156,30 @@ def ms_deformable_attention_shared(value_levels: List[jnp.ndarray],
             offset += P
             base += H * W
         idx = jnp.concatenate(idx_parts, axis=2)     # (B, Q, sum_P)
-        b_idx = jnp.broadcast_to(
-            jnp.arange(B, dtype=jnp.int32)[:, None], (B, Q * total_points))
-        starts = jnp.stack(
-            [b_idx, idx.reshape(B, Q * total_points)], -1
-        ).reshape(B * Q * total_points, 2)
-        rows = jax.lax.gather(
-            flat, starts,
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(0, 1),
-                start_index_map=(0, 1)),
-            slice_sizes=(1, 1, C),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )
+        L = flat.shape[1]
+        from pautdx.ops.pallas_gather import fits_vmem, pallas_onehot_gather
+
+        if jax.default_backend() == "tpu" and fits_vmem(
+                L, C, jnp.dtype(flat.dtype).itemsize):
+            # VMEM-resident one-hot MXU gather: avoids the ~fixed multi-ms
+            # per-op latency of the XLA hardware gather (exact same rows)
+            rows = pallas_onehot_gather(
+                flat, idx.reshape(B, Q * total_points))
+        else:
+            b_idx = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32)[:, None],
+                (B, Q * total_points))
+            starts = jnp.stack(
+                [b_idx, idx.reshape(B, Q * total_points)], -1
+            ).reshape(B * Q * total_points, 2)
+            rows = jax.lax.gather(
+                flat, starts,
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(0, 1),
+                    start_index_map=(0, 1)),
+                slice_sizes=(1, 1, C),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )
         samples = rows.reshape(B, Q, total_points, n_heads, head_dim)
     else:
         offset = 0

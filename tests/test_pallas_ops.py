@@ -1,5 +1,6 @@
 """Pallas kernels vs XLA reference implementations (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,3 +78,49 @@ def test_pallas_mask_decode_uneven_tile():
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_onehot_gather_matches_indexing():
+    from pautdx.ops.pallas_gather import pallas_onehot_gather
+
+    rng = np.random.default_rng(5)
+    B, L, C, T = 2, 40, 16, 24
+    flat = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, L, (B, T)), jnp.int32)
+    got = pallas_onehot_gather(flat, idx, 0, True)
+    want = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_onehot_gather_grad():
+    from pautdx.ops.pallas_gather import pallas_onehot_gather
+
+    rng = np.random.default_rng(6)
+    B, L, C, T = 1, 10, 4, 6
+    flat = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    idx = jnp.asarray([[0, 3, 3, 9, 1, 0]], jnp.int32)
+
+    def f(v):
+        return jnp.sum(pallas_onehot_gather(v, idx, 0, True) ** 2)
+
+    g = jax.grad(f)(flat)
+    want = jax.grad(
+        lambda v: jnp.sum(jnp.take_along_axis(
+            v, idx[..., None], axis=1) ** 2))(flat)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=1e-6)
+
+
+def test_deformable_discrete_unaffected_on_cpu():
+    """CPU path must keep the XLA gather (pallas auto-dispatch is TPU-only)."""
+    from pautdx.ops.deformable import ms_deformable_attention_shared
+
+    rng = np.random.default_rng(7)
+    B, Q, h, d = 1, 4, 2, 4
+    levels = [jnp.asarray(rng.normal(size=(B, 8, 8, h, d)), jnp.float32),
+              jnp.asarray(rng.normal(size=(B, 4, 4, h, d)), jnp.float32)]
+    loc = jnp.asarray(rng.uniform(0, 1, (B, Q, 8, 2)), jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, Q, h, 8)), jnp.float32))
+    out = ms_deformable_attention_shared(levels, loc, w, [4, 4],
+                                         method="discrete")
+    assert out.shape == (B, Q, h * d)
+    assert np.isfinite(np.asarray(out)).all()
