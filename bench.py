@@ -58,9 +58,12 @@ def main():
         return out["logits"], out["pred_boxes"]
 
     stream = make_streaming_forward(apply_fn)
-    slab = jnp.asarray(
-        np.random.default_rng(0).normal(size=(n_steps, batch, img, img, 3)),
-        dtype=jnp.bfloat16)
+    # uint8 wire format: B-scan frames ship as 8-bit images (the
+    # reference's PNG pipeline); dequantized to bf16 on device. Quality
+    # at this exact serving mode is measured by tools/bench_accuracy.py
+    # (jax_map50_serving_uint8_input).
+    slab = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(n_steps, batch, img, img, 3)), dtype=jnp.uint8)
     fps = measure_fps(stream, slab, n_calls=3)
 
     print(json.dumps({

@@ -26,7 +26,13 @@ def make_streaming_forward(apply_fn: Callable) -> Callable:
 
     def stream(slab: jnp.ndarray, carry: jnp.ndarray):
         def body(c, images):
-            logits, boxes = apply_fn(images + c * 0.0)
+            x = images
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                # uint8 wire format (the deployment contract: B-scan
+                # frames are 8-bit images): dequantize on device — 4x
+                # less HBM traffic on the biggest tensor in the graph
+                x = x.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+            logits, boxes = apply_fn(x + c * 0.0)
             return logits.astype(jnp.float32).mean().astype(c.dtype), \
                 (logits, boxes)
         carry, (logits, boxes) = jax.lax.scan(body, carry, slab)
@@ -41,7 +47,9 @@ def measure_fps(stream_fn: Callable, slab: jnp.ndarray,
     import time
 
     n_steps, batch = slab.shape[0], slab.shape[1]
-    carry = jnp.zeros((), slab.dtype)
+    cdtype = (jnp.bfloat16 if jnp.issubdtype(slab.dtype, jnp.integer)
+              else slab.dtype)
+    carry = jnp.zeros((), cdtype)
     _, _, carry = stream_fn(slab, carry)
     float(carry)                                  # compile + sync
     t0 = time.perf_counter()

@@ -38,3 +38,27 @@ def test_streaming_forward_scan():
     assert np.isfinite(float(carry))
     fps = measure_fps(stream, slab, n_calls=2)
     assert fps > 0
+
+
+def test_streaming_forward_uint8_wire():
+    """uint8 slabs dequantize on device: same results as pre-scaled f32."""
+    seen = []
+
+    def apply_fn(images):
+        seen.append(images.dtype)
+        s = images.astype(jnp.float32).mean(axis=(1, 2, 3))
+        logits = jnp.stack([s, -s], -1)[:, None, :]
+        boxes = jnp.zeros(images.shape[:1] + (1, 4))
+        return logits, boxes
+
+    stream = make_streaming_forward(apply_fn)
+    u8 = np.random.default_rng(1).integers(0, 256, (3, 2, 8, 8, 3),
+                                           dtype=np.uint8)
+    logits_u8, _, carry = stream(jnp.asarray(u8), jnp.zeros((), jnp.bfloat16))
+    f32 = jnp.asarray((u8.astype(np.float32) / 255.0).astype(jnp.bfloat16),
+                      jnp.float32)
+    logits_f32, _, _ = stream(jnp.asarray(f32), jnp.zeros((), jnp.float32))
+    assert seen[0] == jnp.bfloat16        # dequantized before apply_fn
+    np.testing.assert_allclose(np.asarray(logits_u8),
+                               np.asarray(logits_f32), rtol=2e-2, atol=2e-2)
+    assert measure_fps(stream, jnp.asarray(u8), n_calls=1) > 0
