@@ -416,24 +416,6 @@ class Gate(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="norm")(g1 * second_residual + g2 * hidden)
 
 
-def _topk_values_small(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Exact top-k VALUES along the last axis via k argmax+mask rounds.
-
-    For tiny k over a tiny axis (LQE: k=4 over 33 bins), XLA lowers
-    lax.top_k to a full variadic sort that costs ~0.35 ms/iter at
-    serving batch; k rounds of (argmax, mask) are pure VPU ops. Values
-    match lax.top_k exactly (ties contribute equal values either way).
-    """
-    n = x.shape[-1]
-    vals = []
-    cur = x
-    for _ in range(k):
-        i = jnp.argmax(cur, axis=-1)
-        vals.append(jnp.take_along_axis(cur, i[..., None], -1))
-        cur = jnp.where(jax.nn.one_hot(i, n, dtype=bool), -jnp.inf, cur)
-    return jnp.concatenate(vals, axis=-1)
-
-
 class LQE(nn.Module):
     cfg: DFineConfig
 
@@ -443,7 +425,10 @@ class LQE(nn.Module):
         B, L, _ = pred_corners.shape
         prob = nn.softmax(pred_corners.reshape(B, L, 4, c.max_num_bins + 1),
                           axis=-1)
-        topk = _topk_values_small(prob, c.top_prob_values)
+        # NOTE: an argmax+mask top-k replacement for this sort was tried
+        # and measured SLOWER on-chip (3868 vs 4382 fps at b64) — the
+        # variadic sort over 33 bins is cheaper than 4 argmax rounds.
+        topk = jax.lax.top_k(prob, c.top_prob_values)[0]
         stat = jnp.concatenate([topk, topk.mean(axis=-1, keepdims=True)], -1)
         quality = MLPHead(c.lqe_hidden_dim, 1, 2, name="reg_conf")(
             stat.reshape(B, L, -1))

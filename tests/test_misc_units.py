@@ -69,19 +69,3 @@ def test_yolo_config_scales():
     assert n.width(64) == 16 and s.width(64) == 32
     assert n.depth(3) == 1 and YoloConfig(scale="m").depth(3) == 2
 
-
-def test_topk_values_small_matches_lax():
-    import jax
-    import jax.numpy as jnp
-    from pautdx.models.vision.dfine import _topk_values_small
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(3, 5, 4, 33)), jnp.float32)
-    want = jax.lax.top_k(x, 4)[0]
-    got = _topk_values_small(x, 4)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
-    # ties: equal values must still produce identical top-k values
-    xt = jnp.asarray([[1.0, 2.0, 2.0, 0.5, 2.0]])
-    np.testing.assert_allclose(
-        np.asarray(_topk_values_small(xt, 3)),
-        np.asarray(jax.lax.top_k(xt, 3)[0]))
