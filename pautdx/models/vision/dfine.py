@@ -94,7 +94,7 @@ class DFineConfig:
 
 
 def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
-               levels: int = 2) -> DFineConfig:
+               levels: int = 2, stride8_stem: bool = False) -> DFineConfig:
     """Small preset in the spirit of D-FINE-N: shallow decoder, slim dims.
 
     pautdx-native preset (no HF checkpoint to match), so the backbone uses
@@ -122,8 +122,11 @@ def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
         decoder_shared_points=True,
         query_topk="approx",
         num_feature_levels=levels, feat_strides=strides,
-        backbone=HGNetConfig(stem="patchify" if tpu_stem else "hgnet",
-                             out_indices=tuple(range(4 - levels, 4))),
+        backbone=HGNetConfig(
+            stem=("patchify8" if stride8_stem
+                  else "patchify" if tpu_stem else "hgnet"),
+            start_stage=2 if stride8_stem else 0,
+            out_indices=tuple(range(4 - levels, 4))),
     )
 
 

@@ -37,7 +37,14 @@ class HGNetConfig:
     # "patchify": single k4/s4 conv — TPU-friendly (no 2x2 VALID convs,
     # no stride-1 maxpool, no layout churn at full resolution); for
     # pautdx-native presets only.
+    # "patchify8": single k8/s8 conv straight to stride 8, skipping the
+    # first ``start_stage`` stages entirely — removes ALL 160x160/80x80
+    # narrow-channel conv work (the model is HBM-bound and those stages
+    # are mostly layout churn + half-empty lanes at serving batch).
     stem: str = "hgnet"
+    # first stage to run (patchify8 presets set 2: the stem already
+    # provides that stage's input stride and channel count)
+    start_stage: int = 0
 
     @property
     def out_channels(self) -> List[int]:
@@ -174,13 +181,17 @@ class Stage(nn.Module):
 
 
 class PatchifyStem(nn.Module):
-    """k4/s4 patchify stem to /4 resolution — MXU/lane-friendly."""
+    """k/s patchify stem — MXU/lane-friendly single conv."""
 
     cfg: HGNetConfig
+    patch: int = 4
+    features: int = 0            # 0 -> stem_channels[2]
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.cfg.stem_channels[2], (4, 4), strides=(4, 4),
+        f = self.features or self.cfg.stem_channels[2]
+        p = self.patch
+        x = nn.Conv(f, (p, p), strides=(p, p),
                     use_bias=False, name="proj")(x)
         x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
         return nn.relu(x)
@@ -193,12 +204,24 @@ class HGNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
-        if self.cfg.stem == "patchify":
-            x = PatchifyStem(self.cfg, name="patch_embedder")(x, train)
+        c = self.cfg
+        start = c.start_stage
+        if c.stem == "patchify":
+            x = PatchifyStem(c, name="patch_embedder")(x, train)
+        elif c.stem == "patchify8":
+            # one conv straight to the input stride/channels of stage
+            # ``start``: 4 (stem) doubled per skipped downsampling stage
+            patch = 4
+            for i in range(start):
+                if c.stage_downsample[i]:
+                    patch *= 2
+            x = PatchifyStem(c, patch=patch,
+                             features=c.stage_in_channels[start],
+                             name="patch_embedder")(x, train)
         else:
-            x = Embeddings(self.cfg, name="embedder")(x, train)
-        feats = []
-        for i in range(len(self.cfg.stage_in_channels)):
-            x = Stage(self.cfg, i, name=f"encoder.stages.{i}")(x, train)
+            x = Embeddings(c, name="embedder")(x, train)
+        feats: List = [None] * start
+        for i in range(start, len(c.stage_in_channels)):
+            x = Stage(c, i, name=f"encoder.stages.{i}")(x, train)
             feats.append(x)
-        return [feats[i] for i in self.cfg.out_indices]
+        return [feats[i] for i in c.out_indices]

@@ -69,3 +69,35 @@ def test_yolo_config_scales():
     assert n.width(64) == 16 and s.width(64) == 32
     assert n.depth(3) == 1 and YoloConfig(scale="m").depth(3) == 2
 
+
+
+def test_hgnet_patchify8_shapes():
+    import jax
+    import jax.numpy as jnp
+    from pautdx.models.vision.hgnet import HGNetConfig, HGNetV2
+
+    cfg = HGNetConfig(stem="patchify8", start_stage=2, out_indices=(2, 3))
+    m = HGNetV2(cfg)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((1, 128, 128, 3)), train=False)
+    feats = m.apply(v, jnp.zeros((2, 128, 128, 3)), train=False)
+    # stem stride 8 -> stage2 downsamples to /16, stage3 to /32
+    assert feats[0].shape == (2, 8, 8, cfg.stage_out_channels[2])
+    assert feats[1].shape == (2, 4, 4, cfg.stage_out_channels[3])
+
+
+def test_dfine_nano_stride8_forward():
+    import jax
+    import jax.numpy as jnp
+    from pautdx.models.vision.dfine import DFine, dfine_nano
+
+    cfg = dfine_nano(num_labels=2, stride8_stem=True)
+    m = DFine(cfg)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((1, 128, 128, 3)), train=False)
+    out = m.apply(v, jnp.zeros((1, 128, 128, 3)), train=False)
+    # at 128px the 16/32-stride levels expose 8*8+4*4=80 anchors, so the
+    # query top-k clamps to 80 (num_queries=150 applies at >=320px)
+    q = min(cfg.num_queries, 80)
+    assert out["logits"].shape == (1, q, 2)
+    assert out["pred_boxes"].shape == (1, q, 4)
