@@ -85,7 +85,12 @@ class DetectorEndpoint:
 
     def predict(self, images: np.ndarray) -> list:
         """images (T, H, W, 3) -> per-frame [{box, label, score}, ...]
-        (the reference bridge's output schema, `predict_sequence.py:7-53`)."""
+        (the reference bridge's output schema, `predict_sequence.py:7-53`).
+        uint8 frames (the PNG-pipeline wire format) are rescaled to
+        [0, 1] to match the training-time contract."""
+        images = np.asarray(images)
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
         out = self.forward(jnp.asarray(images, jnp.float32))
         scores = np.asarray(out["scores"])
         classes = np.asarray(out["classes"])

@@ -5,6 +5,7 @@ import io
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pautdx.models.signal import MultiSignalClassifier
@@ -85,3 +86,21 @@ def test_chunked_sequence_runner_covers_all_frames():
     short = frames[:7]
     res = chunked_sequence_runner(predict, short, seq_len=50)
     assert len(res) == 7 and res[6] == "f6"
+
+
+def test_detector_endpoint_uint8_frames():
+    from pautdx.serve import DetectorEndpoint
+
+    def forward(images):
+        s = images.mean(axis=(1, 2, 3))                 # in [0,1] if scaled
+        n = images.shape[0]
+        return {"scores": jnp.stack([s, s * 0.5], -1),
+                "classes": jnp.zeros((n, 2), jnp.int32),
+                "boxes": jnp.zeros((n, 2, 4)),
+                "valid": jnp.ones((n, 2), bool)}
+
+    ep = DetectorEndpoint(forward, threshold=0.4)
+    u8 = np.full((2, 8, 8, 3), 255, np.uint8)
+    res = ep.predict(u8)
+    # mean of a scaled all-255 frame is 1.0 -> first det passes threshold
+    assert len(res[0]) >= 1 and abs(res[0][0]["score"] - 1.0) < 1e-5
