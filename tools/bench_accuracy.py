@@ -49,6 +49,32 @@ def make_dataset(seeds, n_scans=60, rng_seed=0):
 
     rng = np.random.default_rng(rng_seed)
     imgs, boxes, classes, masks = [], [], [], []
+    # render frames on the host CPU backend: the jit image kernels are
+    # tiny, and dispatching them to the TPU through the relay is pure
+    # per-op latency (dataset synth took ~30 min that way)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        return _make_dataset_inner(seeds, n_scans, rng, imgs, boxes,
+                                   classes, masks)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def _make_dataset_inner(seeds, n_scans, rng, imgs, boxes, classes, masks):
+    from pautdx.data import synthetic
+    from pautdx.data.vision import detection_frames_from_volume
+    from pautdx.data.volume import parse_json_volume
+
     for s in seeds:
         n_beams = int(rng.integers(6, 9))
         spec = synthetic.VolumeSpec(
@@ -103,7 +129,8 @@ def configs():
             "nano": dfine_nano(num_labels=NUM_LABELS)}
 
 
-def train(cfg, data, steps, batch, lr=4e-4, log_every=100):
+def train(cfg, data, steps, batch, lr=2.5e-4, log_every=100,
+          ema_decay=0.999):
     from pautdx.losses.detr import dfine_criterion
     from pautdx.models.vision.dfine import DFine
 
@@ -125,8 +152,27 @@ def train(cfg, data, steps, batch, lr=4e-4, log_every=100):
             weight_decay=1e-4))
     opt_state = opt.init(params)
 
+    # Dataset lives ON DEVICE; per-step input is a (batch,) index vector.
+    # Re-uploading a 78 MB image batch through the axon relay every step
+    # both dominated step time and leaked host memory (OOM at 130 GB on
+    # the first run of this harness) — device-resident data + on-device
+    # take() is also simply the right TPU input pipeline for a small set.
+    images_d = jax.device_put(jnp.asarray(images))
+    gtb_d = jax.device_put(jnp.asarray(gt_norm))
+    gtc_d = jax.device_put(jnp.asarray(gt_classes))
+    gtm_d = jax.device_put(jnp.asarray(gt_mask.astype(np.float32)))
+
     @jax.jit
-    def step(params, batch_stats, opt_state, im, gtb, gtc, gtm, key):
+    def step(params, batch_stats, opt_state, idx, key, images_d, gtb_d,
+             gtc_d, gtm_d):
+        # data tensors are explicit args (NOT closure constants: jit would
+        # bake a 3 GB literal into the executable); passing device arrays
+        # is pointer-cheap
+        im = jnp.take(images_d, idx, axis=0)
+        gtb = jnp.take(gtb_d, idx, axis=0)
+        gtc = jnp.take(gtc_d, idx, axis=0)
+        gtm = jnp.take(gtm_d, idx, axis=0)
+
         def loss_fn(p):
             out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats}, im, train=True,
@@ -139,28 +185,40 @@ def train(cfg, data, steps, batch, lr=4e-4, log_every=100):
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), bs, opt_state, loss
 
+    @jax.jit
+    def ema_update(ema, params):
+        return jax.tree_util.tree_map(
+            lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
+
     key = jax.random.PRNGKey(1)
     rng = np.random.default_rng(0)
+    ema = params
     t0 = time.time()
     for i in range(steps):
-        idx = rng.choice(n, batch, replace=False)
+        idx = jnp.asarray(rng.choice(n, batch, replace=False))
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, jnp.asarray(images[idx]),
-            jnp.asarray(gt_norm[idx]), jnp.asarray(gt_classes[idx]),
-            jnp.asarray(gt_mask[idx]), k)
+            params, batch_stats, opt_state, idx, k, images_d, gtb_d,
+            gtc_d, gtm_d)
+        ema = ema_update(ema, params)
         if i % log_every == 0 or i == steps - 1:
             print(f"    step {i:5d} loss {float(loss):8.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
-    return model, {"params": params, "batch_stats": batch_stats}
+    del images_d, gtb_d, gtc_d, gtm_d
+    # evaluate the EMA weights (standard DETR-family practice; smooths
+    # the late-training loss spikes this objective shows at batch 16)
+    return model, {"params": ema, "batch_stats": batch_stats}
 
 
 def eval_jax(model, variables, data, batch=16, serving_cfg=None,
-             threshold=0.05):
+             threshold=0.05, uint8_input=False):
     """mAP@0.5 of a JAX model on (images, boxes, classes, mask).
 
     serving_cfg: optional DFineConfig to re-instantiate the model in a
     different inference mode (e.g. discrete sampling) — params reused.
+    uint8_input: quantize frames to uint8 before upload and dequantize on
+    device (the production serving contract: B-scan frames arrive as
+    uint8 images, mirroring the reference's PNG pipeline).
     """
     from pautdx.eval import evaluate_map
     from pautdx.models.vision.dfine import DFine, post_process
@@ -171,16 +229,25 @@ def eval_jax(model, variables, data, batch=16, serving_cfg=None,
     n = images.shape[0]
 
     @jax.jit
-    def infer(v, im):
+    def infer(v, data, a):
+        im = jax.lax.dynamic_slice_in_dim(data, a, batch, axis=0)
+        if uint8_input:
+            im = im.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
         out = model.apply(v, im, train=False)
         return post_process(out["logits"], out["pred_boxes"], (IMG, IMG),
                             threshold=threshold, max_det=16)
 
+    # one upload; per-batch slicing happens on device (see train())
+    if uint8_input:
+        host = np.clip(np.asarray(images) * 255.0 + 0.5, 0, 255).astype(
+            np.uint8)
+        data_d = jax.device_put(jnp.asarray(host))
+    else:
+        data_d = jax.device_put(jnp.asarray(
+            images, jnp.bfloat16 if serving_cfg is not None else jnp.float32))
     preds, gts = [], []
     for a in range(0, n - n % batch, batch):
-        im = jnp.asarray(images[a:a + batch], jnp.bfloat16
-                         if serving_cfg is not None else jnp.float32)
-        pp = jax.device_get(infer(variables, im))
+        pp = jax.device_get(infer(variables, data_d, jnp.asarray(a)))
         for i in range(batch):
             t = a + i
             v = pp["valid"][i]
@@ -198,7 +265,7 @@ def to_bf16(variables):
         variables)
 
 
-def eval_torch_parity(cfg, variables, data, max_frames=64, threshold=0.05):
+def eval_torch_parity(cfg, variables, data, max_frames=240, threshold=0.05):
     """Export JAX weights -> torch HF D-FINE, eval mAP@0.5 on the same
     frames (CPU). Returns mAP or None if transformers lacks D-FINE."""
     try:
@@ -253,15 +320,42 @@ def eval_torch_parity(cfg, variables, data, max_frames=64, threshold=0.05):
     tm.load_state_dict({k: torch.from_numpy(np.asarray(v))
                         for k, v in sd.items()})
 
+    from pautdx.models.vision.dfine import DFine
+
+    # Reference forward runs on the host CPU in f32: the parity claim is
+    # "identical weights through torch match JAX" — apples-to-apples means
+    # CPU f32 vs CPU f32. (On-TPU f32 matmuls use bf16 MXU passes by
+    # default; that quality is what jax_map50 already measures.)
+    jmodel = DFine(cfg)
+    cpu = jax.local_devices(backend="cpu")[0]
+    variables = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), cpu),
+        jax.device_get(variables))
+    _jf = jax.jit(lambda v, x: jmodel.apply(v, x, train=False))
+
+    def jinfer(v, x):
+        with jax.default_device(cpu):
+            return _jf(v, jax.device_put(x, cpu))
+
     images, gt_boxes, gt_classes, gt_mask = data
     n = min(max_frames, images.shape[0])
     preds, gts = [], []
+    max_logit_delta = max_box_delta = max_score = 0.0
     with torch.no_grad():
         for a in range(0, n, 8):
             im = torch.from_numpy(
                 images[a:a + 8].transpose(0, 3, 1, 2)).float()
             out = tm(im)
+            # direct output parity vs JAX on the same frames — THE parity
+            # evidence (mAP equality follows from it, and a harness bug in
+            # either post-processing can't mask a real model mismatch)
+            jout = jinfer(variables, jnp.asarray(images[a:a + 8]))
+            max_logit_delta = max(max_logit_delta, float(np.max(np.abs(
+                np.asarray(jout["logits"]) - out.logits.numpy()))))
+            max_box_delta = max(max_box_delta, float(np.max(np.abs(
+                np.asarray(jout["pred_boxes"]) - out.pred_boxes.numpy()))))
             probs = torch.sigmoid(out.logits)
+            max_score = max(max_score, float(probs.max()))
             for i in range(im.shape[0]):
                 t = a + i
                 p = probs[i].numpy()                      # (Q, C)
@@ -280,12 +374,16 @@ def eval_torch_parity(cfg, variables, data, max_frames=64, threshold=0.05):
                 gm = gt_mask[t] > 0
                 gts.append({"boxes": gt_boxes[t][gm],
                             "classes": gt_classes[t][gm]})
-    return evaluate_map(preds, gts, num_classes=NUM_LABELS)["mAP@0.5"]
+    return {"map50": evaluate_map(preds, gts,
+                                  num_classes=NUM_LABELS)["mAP@0.5"],
+            "max_logit_delta": max_logit_delta,
+            "max_box_delta": max_box_delta,
+            "max_score": max_score}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke run (CPU-able)")
@@ -305,7 +403,7 @@ def main():
         args.steps = min(args.steps, 60)
 
     print("dataset: synthesizing volumes ...", flush=True)
-    train_data = make_dataset(range(100, 110), rng_seed=1)
+    train_data = make_dataset(range(100, 125), rng_seed=1)
     val_data = make_dataset(range(500, 504), rng_seed=2)
     print(f"  train frames {train_data[0].shape}, val {val_data[0].shape}",
           flush=True)
@@ -316,25 +414,41 @@ def main():
                "device": str(jax.devices()[0]).split(":")[0]}
     cfgs = configs()
 
+    def dump(tag, variables):
+        from pautdx.compat.dfine_import import _flatten
+
+        flat = {}
+        got = jax.device_get(variables)
+        for grp in ("params", "batch_stats"):
+            for k, v in _flatten(dict(got.get(grp, {}))).items():
+                flat[f"{grp}:{k}"] = np.asarray(v)
+        np.savez_compressed(f"/tmp/bench_acc_{tag}.npz", **flat)
+
     print("== parity_small (HF architecture) ==", flush=True)
     model, variables = train(cfgs["parity_small"], train_data, args.steps,
                              args.batch)
+    dump("parity_small", variables)
     m_jax = eval_jax(model, variables, val_data)
     print(f"    JAX mAP@0.5 (f32/bilinear) = {m_jax:.4f}", flush=True)
     m_torch = eval_torch_parity(cfgs["parity_small"], variables, val_data)
-    print(f"    torch mAP@0.5 (same weights) = {m_torch}", flush=True)
-    results["parity_small"] = {"jax_map50": m_jax, "torch_map50": m_torch}
+    print(f"    torch parity (same weights) = {m_torch}", flush=True)
+    results["parity_small"] = {"jax_map50": m_jax, "torch": m_torch}
 
     print("== nano (TPU serving preset) ==", flush=True)
     model, variables = train(cfgs["nano"], train_data, args.steps, args.batch)
+    dump("nano", variables)
     m_train = eval_jax(model, variables, val_data)
     serving = dataclasses.replace(cfgs["nano"], decoder_method="discrete")
     m_serve = eval_jax(model, to_bf16(variables), val_data,
                        serving_cfg=serving)
+    m_serve_u8 = eval_jax(model, to_bf16(variables), val_data,
+                          serving_cfg=serving, uint8_input=True)
     print(f"    JAX mAP@0.5 f32/bilinear = {m_train:.4f}; "
-          f"serving bf16/discrete/shared = {m_serve:.4f}", flush=True)
+          f"serving bf16/discrete/shared = {m_serve:.4f}; "
+          f"uint8-input serving = {m_serve_u8:.4f}", flush=True)
     results["nano"] = {"jax_map50_f32_bilinear": m_train,
-                       "jax_map50_serving_bf16_discrete": m_serve}
+                       "jax_map50_serving_bf16_discrete": m_serve,
+                       "jax_map50_serving_uint8_input": m_serve_u8}
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
