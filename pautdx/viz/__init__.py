@@ -102,3 +102,4 @@ def plot_signal_predictions(signals: np.ndarray, probs: np.ndarray,
     fig.tight_layout()
     fig.savefig(path, dpi=100)
     plt.close(fig)
+from pautdx.viz.model_graph import model_dot, save_model_dot  # noqa: F401

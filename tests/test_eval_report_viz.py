@@ -90,3 +90,17 @@ def test_viz_writes_pngs(tmp_path):
                             str(tmp_path / "signals.png"))
     for name in ("hist.png", "heat.png", "boxes.png", "signals.png"):
         assert (tmp_path / name).stat().st_size > 0
+
+
+def test_model_dot_structure(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from pautdx.models.signal import MultiSignalClassifier
+    from pautdx.viz.model_graph import save_model_dot
+
+    m = MultiSignalClassifier()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 320)))
+    dot = save_model_dot(v["params"], str(tmp_path / "m.dot"), name="msc")
+    assert dot.startswith('digraph "msc"')
+    assert "params" in dot and "->" in dot
+    assert (tmp_path / "m.dot").exists()
