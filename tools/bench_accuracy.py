@@ -388,6 +388,9 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke run (CPU-able)")
     ap.add_argument("--out", default="BENCH_ACCURACY.json")
+    ap.add_argument("--only", choices=["parity_small", "nano"], default=None,
+                    help="run a single config (e.g. after a relay wedge "
+                         "killed a full run; merge results by hand)")
     args = ap.parse_args()
 
     try:
@@ -424,6 +427,17 @@ def main():
                 flat[f"{grp}:{k}"] = np.asarray(v)
         np.savez_compressed(f"/tmp/bench_acc_{tag}.npz", **flat)
 
+    if args.only in (None, "parity_small"):
+        run_parity(args, cfgs, train_data, val_data, results, dump)
+    if args.only in (None, "nano"):
+        run_nano(args, cfgs, train_data, val_data, results, dump)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+def run_parity(args, cfgs, train_data, val_data, results, dump):
     print("== parity_small (HF architecture) ==", flush=True)
     model, variables = train(cfgs["parity_small"], train_data, args.steps,
                              args.batch)
@@ -434,6 +448,8 @@ def main():
     print(f"    torch parity (same weights) = {m_torch}", flush=True)
     results["parity_small"] = {"jax_map50": m_jax, "torch": m_torch}
 
+
+def run_nano(args, cfgs, train_data, val_data, results, dump):
     print("== nano (TPU serving preset) ==", flush=True)
     model, variables = train(cfgs["nano"], train_data, args.steps, args.batch)
     dump("nano", variables)
@@ -449,10 +465,6 @@ def main():
     results["nano"] = {"jax_map50_f32_bilinear": m_train,
                        "jax_map50_serving_bf16_discrete": m_serve,
                        "jax_map50_serving_uint8_input": m_serve_u8}
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
 
 
 if __name__ == "__main__":
