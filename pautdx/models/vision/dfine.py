@@ -94,19 +94,23 @@ class DFineConfig:
 
 
 def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
-               levels: int = 2, stride8_stem: bool = False) -> DFineConfig:
+               levels: int = 2, stride8_stem: bool = True) -> DFineConfig:
     """Small preset in the spirit of D-FINE-N: shallow decoder, slim dims.
 
     pautdx-native preset (no HF checkpoint to match), so the backbone uses
-    the TPU-friendly patchify stem by default; pass ``tpu_stem=False`` for
-    the HGNet dual-path stem.
+    a patchify stem by default — ``stride8_stem=True`` (default) is one
+    k8/s8 conv straight to stride 8, skipping the narrow-channel
+    160x160/80x80 stages entirely (measured +40% serving fps at 640px
+    b64: 4300 -> 6050). ``stride8_stem=False`` keeps the k4/s4 stem +
+    full stage chain; ``tpu_stem=False`` the HGNet dual-path stem.
 
     ``levels=2`` (default) drops the stride-8 FPN level: the model is
     HBM-bandwidth bound and the 80x80 neck/deformable level is ~40% of
     the per-frame traffic at 640px, while PAUT defects are large blobs
-    that a 16px grid localizes fine (quality measured, not asserted:
-    tools/bench_accuracy.py evaluates this exact serving preset's
-    mAP@0.5). ``levels=3`` restores the full HF-style pyramid.
+    that a 16px grid localizes fine. Quality for the exact serving
+    preset is measured, not asserted: tools/bench_accuracy.py trains it
+    and evaluates mAP@0.5 (BENCH_ACCURACY.json). ``levels=3`` restores
+    the full HF-style pyramid.
     """
     strides = (8, 16, 32)[3 - levels:]
     return DFineConfig(

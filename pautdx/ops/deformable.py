@@ -109,6 +109,13 @@ def nearest_sample_nhwc(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     return rows.reshape((B,) + batch_shape + (C,))
 
 
+def _bilinear_fits(value_levels, C: int) -> bool:
+    from pautdx.ops.pallas_gather import fits_vmem
+
+    L = sum(v.shape[1] * v.shape[2] for v in value_levels)
+    return fits_vmem(L, C, jnp.dtype(value_levels[0].dtype).itemsize)
+
+
 def ms_deformable_attention_shared(value_levels: List[jnp.ndarray],
                                    sampling_locations: jnp.ndarray,
                                    attention_weights: jnp.ndarray,
@@ -180,6 +187,55 @@ def ms_deformable_attention_shared(value_levels: List[jnp.ndarray],
                 slice_sizes=(1, 1, C),
                 mode=jax.lax.GatherScatterMode.CLIP,
             )
+        samples = rows.reshape(B, Q, total_points, n_heads, head_dim)
+    elif method == "default" and jax.default_backend() == "tpu" and _bilinear_fits(
+            value_levels, n_heads * head_dim):
+        # bilinear sampling as ONE sparse-weight MXU matmul over the
+        # VMEM-resident level-concat table: each tap row carries its 4
+        # corner weights (ops/pallas_gather.pallas_weighted_gather) —
+        # bilinear quality at the discrete gather's cost.
+        from pautdx.ops.pallas_gather import pallas_weighted_gather
+
+        flat = jnp.concatenate(
+            [v.reshape(B, -1, C) for v in value_levels], axis=1)
+        flat = jax.lax.optimization_barrier(flat)
+        idx_parts, w_parts = [], []
+        offset = 0
+        base = 0
+        for lvl, value in enumerate(value_levels):
+            P = num_points_list[lvl]
+            H, W = value.shape[1:3]
+            loc = sampling_locations[:, :, offset:offset + P, :]
+            x = loc[..., 0] * W - 0.5
+            y = loc[..., 1] * H - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = (x - x0).astype(jnp.float32)
+            fy = (y - y0).astype(jnp.float32)
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            corners = []
+            weights = []
+            for dy, dx, wgt in ((0, 0, (1 - fx) * (1 - fy)),
+                                (0, 1, fx * (1 - fy)),
+                                (1, 0, (1 - fx) * fy),
+                                (1, 1, fx * fy)):
+                xi = x0i + dx
+                yi = y0i + dy
+                inb = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))
+                # zeros-padding semantics: out-of-range corner -> weight 0
+                corners.append(jnp.clip(yi, 0, H - 1) * W
+                               + jnp.clip(xi, 0, W - 1) + base)
+                weights.append(jnp.where(inb, wgt, 0.0))
+            idx_parts.append(jnp.stack(corners, axis=-1))   # (B,Q,P,4)
+            w_parts.append(jnp.stack(weights, axis=-1))
+            offset += P
+            base += H * W
+        idx = jnp.concatenate(idx_parts, axis=2).reshape(
+            B, Q * total_points, 4)
+        wts = jnp.concatenate(w_parts, axis=2).reshape(
+            B, Q * total_points, 4)
+        rows = pallas_weighted_gather(flat, idx, wts)
         samples = rows.reshape(B, Q, total_points, n_heads, head_dim)
     else:
         offset = 0

@@ -124,3 +124,74 @@ def test_deformable_discrete_unaffected_on_cpu():
                                          method="discrete")
     assert out.shape == (B, Q, h * d)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_weighted_gather_matches_manual():
+    from pautdx.ops.pallas_gather import pallas_weighted_gather
+
+    rng = np.random.default_rng(8)
+    B, L, C, T, K = 2, 30, 8, 12, 4
+    flat = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, L, (B, T, K)), jnp.int32)
+    w = jnp.asarray(rng.uniform(0, 1, (B, T, K)), jnp.float32)
+    got = pallas_weighted_gather(flat, idx, w, 0, True)
+    rows = jnp.take_along_axis(flat, idx.reshape(B, T * K)[..., None],
+                               axis=1).reshape(B, T, K, C)
+    want = jnp.sum(rows * w[..., None], axis=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_weighted_gather_grads():
+    from pautdx.ops.pallas_gather import pallas_weighted_gather
+
+    rng = np.random.default_rng(9)
+    B, L, C, T, K = 1, 10, 4, 6, 4
+    flat = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, L, (B, T, K)), jnp.int32)
+    w = jnp.asarray(rng.uniform(0, 1, (B, T, K)), jnp.float32)
+
+    def manual(flat, w):
+        rows = jnp.take_along_axis(flat, idx.reshape(B, T * K)[..., None],
+                                   axis=1).reshape(B, T, K, C)
+        return jnp.sum(jnp.sum(rows * w[..., None], axis=2) ** 2)
+
+    def kern(flat, w):
+        return jnp.sum(pallas_weighted_gather(flat, idx, w, 0, True) ** 2)
+
+    gf_m, gw_m = jax.grad(manual, argnums=(0, 1))(flat, w)
+    gf_k, gw_k = jax.grad(kern, argnums=(0, 1))(flat, w)
+    np.testing.assert_allclose(np.asarray(gf_k), np.asarray(gf_m), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_m), rtol=1e-5)
+
+
+def test_deformable_shared_bilinear_pallas_matches_xla():
+    """The sparse-weight-matmul bilinear path == the 2x2-window XLA path."""
+    import pautdx.ops.deformable as dfm
+    from pautdx.ops.pallas_gather import pallas_weighted_gather
+
+    rng = np.random.default_rng(10)
+    B, Q, h, d = 2, 5, 2, 4
+    levels = [jnp.asarray(rng.normal(size=(B, 8, 8, h, d)), jnp.float32),
+              jnp.asarray(rng.normal(size=(B, 4, 4, h, d)), jnp.float32)]
+    # include out-of-range locations to exercise zeros-padding semantics
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, Q, 8, 2)), jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, Q, h, 8)), jnp.float32))
+
+    want = dfm.ms_deformable_attention_shared(levels, loc, w, [4, 4])
+
+    # force the pallas branch (interpret mode) by faking the tpu check
+    real_backend = dfm.jax.default_backend
+    orig = pallas_weighted_gather
+    try:
+        dfm.jax.default_backend = lambda: "tpu"
+        import pautdx.ops.pallas_gather as pg
+        real_impl = pg._weighted_impl
+        pg._weighted_impl = lambda f, i, w_, t, interp: real_impl(
+            f, i, w_, t, True)
+        got = dfm.ms_deformable_attention_shared(levels, loc, w, [4, 4])
+    finally:
+        dfm.jax.default_backend = real_backend
+        pg._weighted_impl = real_impl
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
