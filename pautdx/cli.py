@@ -235,10 +235,12 @@ def _cmd_train_bscan(args) -> None:
         state, metrics = trainer.train_epoch(state, batches())
         print(f"[epoch {epoch}] " + " ".join(
             f"{k}={v:.4f}" for k, v in metrics.items()))
-        trainer.ckpt.save(epoch, jax.device_get(state),
-                          metadata={"detector": args.detector,
-                                    "num_classes": args.num_classes,
-                                    "size": args.size},
+        meta = {"detector": args.detector, "num_classes": args.num_classes,
+                "size": args.size, "scale": args.scale}
+        if args.detector == "dfine":
+            from pautdx.models.vision.dfine import config_to_dict
+            meta["dfine_config"] = config_to_dict(cfg)
+        trainer.ckpt.save(epoch, jax.device_get(state), metadata=meta,
                           history={k: [v] for k, v in metrics.items()},
                           is_best=True)
     print(f"checkpoints in {args.out}")
@@ -252,25 +254,37 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
     import jax
     import jax.numpy as jnp
 
+    # restore first: checkpoint metadata carries the exact architecture
+    # (preset defaults can evolve; old checkpoints must stay loadable)
+    state, meta = None, {}
+    if checkpoint:
+        from pautdx.train import CheckpointManager
+        state, meta = CheckpointManager(checkpoint).restore("latest")
+
     if detector == "yolo":
         from pautdx.models.vision import YOLO, YoloConfig, decode_boxes
         from pautdx.ops import dense_to_detections
 
-        cfg = YoloConfig(num_classes=num_classes, scale=scale)
+        cfg = YoloConfig(num_classes=meta.get("num_classes", num_classes),
+                         scale=meta.get("scale", scale))
         model = YOLO(cfg)
     else:
-        from pautdx.models.vision.dfine import DFine, dfine_nano
+        from pautdx.models.vision.dfine import (
+            DFine, config_from_dict, dfine_nano,
+        )
 
-        cfg = dfine_nano(num_labels=num_classes)
+        cfg = (config_from_dict(meta["dfine_config"])
+               if meta.get("dfine_config")
+               else dfine_nano(num_labels=meta.get("num_classes",
+                                                   num_classes)))
         model = DFine(cfg)
-    init = jax.jit(lambda k: model.init(
-        {"params": k}, jnp.zeros((1, size, size, 3)), train=False))
-    variables = init(jax.random.PRNGKey(0))
-    if checkpoint:
-        from pautdx.train import CheckpointManager
-        state, _ = CheckpointManager(checkpoint).restore("latest")
+    if state is not None:
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
+    else:
+        init = jax.jit(lambda k: model.init(
+            {"params": k}, jnp.zeros((1, size, size, 3)), train=False))
+        variables = init(jax.random.PRNGKey(0))
 
     if detector == "yolo":
         @jax.jit

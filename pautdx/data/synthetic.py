@@ -45,6 +45,12 @@ class VolumeSpec:
     frontwall_pos: float = 0.06     # normalized depth of front-wall echo
     backwall_pos: float = 0.92
     seed: int = 0
+    # per-(beam, scan) defect-echo fade: amplitude is scaled by
+    # ``1 - flicker * u`` with u ~ U[0, 1] drawn per cell. At flicker>0
+    # some frames carry a near-invisible echo while neighbors stay
+    # strong — the regime the reference's temporal D-FINE targets
+    # (50-frame fusion, `D-Fine/temporal_dfine.py:121-237`)
+    amplitude_flicker: float = 0.0
 
 
 def _wave_packet(n_samples: int, center: float, width: float,
@@ -111,6 +117,9 @@ def generate_volume(spec: VolumeSpec,
                 if d.beam_start <= b <= d.beam_end and d.scan_start <= s <= d.scan_end:
                     hit = (d.depth_start, d.depth_end)
                     amp = d.amplitude
+                    if spec.amplitude_flicker > 0.0:
+                        amp *= 1.0 - spec.amplitude_flicker * float(
+                            rng.uniform())
                     break
             vol[b, s] = synth_ascan(spec, rng, hit, amp)
     return vol, defects

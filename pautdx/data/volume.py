@@ -123,14 +123,16 @@ def parse_txt_tree(root: str, file_folder: str,
     infos: Dict[str, List[ScanInfo]] = {}
     for beam in beams:
         beam_dir = os.path.join(base, beam)
-        files = sorted(os.listdir(beam_dir), key=lambda f: int(f.split("_")[0]))
+        # .txt only — the native walker collects only *.txt, so the Python
+        # listing must match or a stray file would KeyError the tree lookup
+        files = sorted((f for f in os.listdir(beam_dir) if f.endswith(".txt")),
+                       key=lambda f: int(f.split("_")[0]))
         rows, row_infos = [], []
         for fn in files:
-            if tree is not None:
-                rows.append(tree[f"{beam}/{fn}"])
-            else:
-                rows.append(np.loadtxt(os.path.join(beam_dir, fn),
-                                       dtype=np.float32))
+            row = tree.get(f"{beam}/{fn}") if tree is not None else None
+            if row is None:
+                row = np.loadtxt(os.path.join(beam_dir, fn), dtype=np.float32)
+            rows.append(row)
             row_infos.append(grammar.parse_scan_filename(fn))
         signals[beam] = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
         infos[beam] = row_infos

@@ -110,8 +110,12 @@ def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
     that a 16px grid localizes fine. Quality for the exact serving
     preset is measured, not asserted: tools/bench_accuracy.py trains it
     and evaluates mAP@0.5 (BENCH_ACCURACY.json). ``levels=3`` restores
-    the full HF-style pyramid.
+    the full HF-style pyramid — that needs the stage-1 stride-8 feature,
+    so the stride-8 patchify stem (which skips stages 0-1) is
+    incompatible and is disabled automatically.
     """
+    if levels == 3:
+        stride8_stem = False    # stage 1 must run to feed the stride-8 level
     strides = (8, 16, 32)[3 - levels:]
     return DFineConfig(
         num_labels=num_labels, d_model=128, encoder_hidden_dim=128,
@@ -132,6 +136,28 @@ def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
             start_stage=2 if stride8_stem else 0,
             out_indices=tuple(range(4 - levels, 4))),
     )
+
+
+def config_to_dict(cfg: DFineConfig) -> Dict[str, Any]:
+    """JSON-serializable dict of a DFineConfig (checkpoint metadata).
+
+    Persisted alongside checkpoints so restore paths rebuild the exact
+    architecture instead of relying on current preset defaults (which may
+    evolve — e.g. the nano preset's levels/stem knobs)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: Dict[str, Any]) -> DFineConfig:
+    """Inverse of :func:`config_to_dict` (tolerates JSON list/tuple loss)."""
+    d = dict(d)
+    bb = dict(d.pop("backbone", {}))
+    for k, v in list(bb.items()):
+        if isinstance(v, list):
+            bb[k] = tuple(v)
+    for k, v in list(d.items()):
+        if isinstance(v, list):
+            d[k] = tuple(v)
+    return DFineConfig(backbone=HGNetConfig(**bb), **d)
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,13 @@ class HGNetConfig:
     def out_channels(self) -> List[int]:
         return [self.stage_out_channels[i] for i in self.out_indices]
 
+    def __post_init__(self):
+        if any(i < self.start_stage for i in self.out_indices):
+            raise ValueError(
+                f"out_indices {self.out_indices} select stages below "
+                f"start_stage={self.start_stage}, which are skipped by the "
+                f"'{self.stem}' stem and would yield no feature map")
+
 
 class LearnableAffine(nn.Module):
     @nn.compact

@@ -86,6 +86,8 @@ def load_ascan_txt(path: str, max_samples: int = 1 << 20) -> np.ndarray:
     n = lib.parse_floats_file(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_samples)
+    if n == -2:
+        raise ValueError(f"malformed float token in {path}")
     if n < 0:
         raise FileNotFoundError(path)
     return out[:n].copy()

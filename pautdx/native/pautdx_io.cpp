@@ -31,17 +31,21 @@
 namespace {
 
 // Parse whitespace-separated floats from an in-memory buffer.
-void parse_floats_buf(const char* p, const char* end,
+// Strict (np.loadtxt-like): a non-whitespace byte that does not start a
+// float is a parse error — returns false so callers can fall back/raise
+// rather than silently load divergent data.
+bool parse_floats_buf(const char* p, const char* end,
                       std::vector<float>* out) {
     while (p < end) {
         while (p < end && std::isspace(static_cast<unsigned char>(*p))) ++p;
         if (p >= end) break;
         char* next = nullptr;
         float v = std::strtof(p, &next);
-        if (next == p) { ++p; continue; }
+        if (next == p) return false;
         out->push_back(v);
         p = next;
     }
+    return true;
 }
 
 // mmap a file and parse its floats (returns false on IO failure).
@@ -65,11 +69,11 @@ bool parse_floats_mmap(const std::string& path, std::vector<float>* out) {
     size_t safe = n > 64 ? n - 64 : 0;
     while (safe > 0 &&
            !std::isspace(static_cast<unsigned char>(p[safe - 1]))) --safe;
-    parse_floats_buf(p, p + safe, out);
+    bool ok = parse_floats_buf(p, p + safe, out);
     std::string tail(p + safe, n - safe);
-    parse_floats_buf(tail.c_str(), tail.c_str() + tail.size(), out);
+    ok = ok && parse_floats_buf(tail.c_str(), tail.c_str() + tail.size(), out);
     ::munmap(m, n);
-    return true;
+    return ok;
 }
 
 std::vector<std::string> list_dir_sorted(const std::string& path,
@@ -95,7 +99,8 @@ std::vector<std::string> list_dir_sorted(const std::string& path,
 extern "C" {
 
 // Parse a whitespace/newline-separated float file.
-// Returns number of floats written (<= capacity), or -1 on open failure.
+// Returns number of floats written (<= capacity), -1 on open failure,
+// or -2 on a malformed token (np.loadtxt-strictness).
 int64_t parse_floats_file(const char* path, float* out, int64_t capacity) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
@@ -116,7 +121,7 @@ int64_t parse_floats_file(const char* path, float* out, int64_t capacity) {
         if (p >= end) break;
         char* next = nullptr;
         float v = std::strtof(p, &next);
-        if (next == p) { ++p; continue; }  // skip junk byte
+        if (next == p) return -2;  // malformed token: fail loudly
         out[n++] = v;
         p = next;
     }

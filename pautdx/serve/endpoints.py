@@ -20,7 +20,14 @@ import numpy as np
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     i = bisect.bisect_left(buckets, n)
     if i == len(buckets):
-        raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+        # overflow: auto-extend with the next power-of-two bucket — the
+        # ONNX dynamic-axes contract this replaces accepts any size, so a
+        # larger-than-configured request compiles one more bucket instead
+        # of failing
+        b = buckets[-1]
+        while b < n:
+            b *= 2
+        return b
     return buckets[i]
 
 
@@ -57,6 +64,14 @@ class SignalEndpoint:
         if signals.ndim == 2:
             signals = signals[None]
         B, N, S = signals.shape
+        max_b = self.batch_buckets[-1]
+        if B > max_b:
+            # batch overflow: chunk over the largest compiled bucket rather
+            # than compiling an unboundedly large program
+            parts = [self.predict(signals[i:i + max_b])
+                     for i in range(0, B, max_b)]
+            return {k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
         Bp = _bucket(B, self.batch_buckets)
         Np = _bucket(N, self.signal_buckets)
         padded = np.zeros((Bp, Np, S), np.float32)

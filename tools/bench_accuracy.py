@@ -381,6 +381,373 @@ def eval_torch_parity(cfg, variables, data, max_frames=240, threshold=0.05):
             "max_score": max_score}
 
 
+SEQ_LEN = 50
+
+
+def make_temporal_dataset(seeds, n_scans=60, rng_seed=0, flicker=0.65):
+    """Per-volume 50-frame sequences with defect-echo flicker.
+
+    Defects persist across 15-40 scans but their echo amplitude fades
+    per frame (``amplitude_flicker``): single-frame detection misses the
+    faded frames, temporal fusion can recover them from neighbors — the
+    capability the reference's temporal D-FINE exists for
+    (`D-Fine/temporal_dfine.py:121-237`).
+    Returns a list of DetectionFrames chunks (each SEQ_LEN frames).
+    """
+    from pautdx.data import synthetic
+    from pautdx.data.vision import (
+        detection_frames_from_volume, sequence_chunks,
+    )
+    from pautdx.data.volume import parse_json_volume
+
+    rng = np.random.default_rng(rng_seed)
+    chunks = []
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        for s in seeds:
+            n_beams = int(rng.integers(6, 9))
+            spec = synthetic.VolumeSpec(
+                n_beams=n_beams, n_scans=n_scans, n_samples=320,
+                noise=float(rng.uniform(0.04, 0.10)),
+                amplitude_flicker=flicker, seed=int(s))
+            defects = []
+            for _ in range(int(rng.integers(1, 4))):
+                b0 = int(rng.integers(0, n_beams - 2))
+                b1 = int(rng.integers(b0 + 1, n_beams))
+                s0 = int(rng.integers(0, n_scans - 20))
+                s1 = int(rng.integers(s0 + 15, min(s0 + 40, n_scans)))
+                d0 = float(rng.uniform(0.15, 0.6))
+                d1 = float(d0 + rng.uniform(0.08, 0.25))
+                label = "Delamination" if rng.random() < 0.5 else "FO"
+                defects.append(synthetic.SyntheticDefect(
+                    b0, b1, s0, s1, d0, min(d1, 0.85), label=label,
+                    amplitude=float(rng.uniform(0.35, 0.8))))
+            vol_arr, _ = synthetic.generate_volume(spec, defects)
+            vol = parse_json_volume(
+                synthetic.volume_to_json_dict(vol_arr, defects))
+            fr = detection_frames_from_volume(vol, out_size=IMG, max_boxes=8,
+                                              class_map=CLASS_MAP)
+            chunks.extend(sequence_chunks(fr, seq_len=SEQ_LEN))
+    return chunks
+
+
+def _stack_chunks(chunks):
+    """list[DetectionFrames] -> stacked arrays (S, T, ...)."""
+    images = np.stack([c.images for c in chunks]).astype(np.float32)
+    gtb = np.stack([c.normalized_cxcywh() for c in chunks])
+    gtc = np.stack([c.classes for c in chunks])
+    gtm = np.stack([c.mask for c in chunks]).astype(np.float32)
+    return images, gtb, gtc, gtm
+
+
+def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
+                   log_every=50):
+    """Train a TemporalDFine variant on device-resident sequences.
+
+    One sequence per step (the reference trains batch_size=1 sequences,
+    `temporal_dfine.py:259-266`). The trunk starts from the trained
+    single-frame weights; what trains follows ``trainable_mask``.
+    """
+    from pautdx.losses.detr import dfine_criterion
+    from pautdx.models.vision.temporal_dfine import (
+        TemporalDFine, init_heads_from_trunk, temporal_consistency_loss,
+        trainable_mask,
+    )
+
+    images_d, gtb_d, gtc_d, gtm_d = data_d
+    num_temporal_labels = None if variant == "v1" else NUM_LABELS + 1
+    model = TemporalDFine(trunk_cfg, variant=variant,
+                          num_temporal_labels=num_temporal_labels)
+
+    x0 = jnp.zeros((SEQ_LEN, IMG, IMG, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init({"params": k}, x0,
+                                             train=False))(
+        jax.random.PRNGKey(0))
+    params = dict(variables["params"])
+    bstats = dict(variables["batch_stats"])
+    # trained single-frame trunk weights
+    params["trunk"] = trunk_vars["params"]
+    bstats["trunk"] = trunk_vars["batch_stats"]
+    variables = {"params": params, "batch_stats": bstats}
+    variables = init_heads_from_trunk(variables, variant)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    mask = trainable_mask(variant, params)
+    # reference lrs: v1 temporal-only 1e-4-ish; v3 3-group
+    # (`temp_dfine_over_improved.py:389-410`) trunk 1e-5 / temporal 5e-4 /
+    # classifier 1e-4
+    if variant == "v3":
+        def group(path, _):
+            keys = [getattr(p, "key", str(p)) for p in path]
+            m = mask
+            for k in keys:
+                if isinstance(m, bool):
+                    break
+                m = m[k]
+            if not (m if isinstance(m, bool) else True):
+                return "frozen"
+            top = keys[0]
+            if top == "trunk":
+                return "trunk"
+            if top == "class_head":
+                return "classifier"
+            return "temporal"
+
+        labels = jax.tree_util.tree_map_with_path(group, params)
+        tx = {"frozen": optax.set_to_zero(),
+              "trunk": optax.adamw(1e-5, weight_decay=0.01),
+              "temporal": optax.adamw(5e-4, weight_decay=0.01),
+              "classifier": optax.adamw(1e-4, weight_decay=0.01)}
+        opt = optax.chain(optax.clip_by_global_norm(1.0),
+                          optax.multi_transform(tx, labels))
+    else:
+        opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.masked(optax.adamw(2e-4, weight_decay=0.01), mask))
+    opt_state = opt.init(params)
+
+    def loss_fn(p, images, gtb, gtc, gtm, key):
+        out = model.apply({"params": p, "batch_stats": bstats}, images,
+                          train=True, rngs={"dropout": key})
+        head_out = {
+            "intermediate_logits": [out["logits"]],
+            "intermediate_boxes": [out["pred_boxes"]],
+            "intermediate_corners": [],
+            "initial_references": [],
+            "enc_topk_logits": out["logits"],
+            "enc_topk_bboxes": out["pred_boxes"],
+        }
+        loss, _ = dfine_criterion(head_out, gtb, gtc, gtm,
+                                  model.head_labels, trunk_cfg.max_num_bins)
+        if variant == "v3":
+            loss = loss + 0.1 * temporal_consistency_loss(out["anomaly"])
+        return loss
+
+    @jax.jit
+    def step(params, opt_state, si, key, images_d, gtb_d, gtc_d, gtm_d):
+        im = jnp.take(images_d, si, axis=0)
+        gtb = jnp.take(gtb_d, si, axis=0)
+        gtc = jnp.take(gtc_d, si, axis=0)
+        gtm = jnp.take(gtm_d, si, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(params, im, gtb, gtc,
+                                                  gtm, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(2)
+    rng = np.random.default_rng(3)
+    t0 = time.time()
+    for i in range(steps):
+        si = jnp.asarray(int(rng.integers(0, n_seqs)))
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, si, k,
+                                       images_d, gtb_d, gtc_d, gtm_d)
+        if i % log_every == 0 or i == steps - 1:
+            print(f"    [{variant}] step {i:4d} loss {float(loss):8.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return model, {"params": params, "batch_stats": bstats}
+
+
+def eval_temporal(model, variables, data_d, chunks):
+    """Per-frame mAP@0.5 of a temporal model over held-out sequences."""
+    from pautdx.eval import evaluate_map
+    from pautdx.models.vision.dfine import post_process
+
+    images_d = data_d[0]
+    n_seqs = len(chunks)
+
+    @jax.jit
+    def infer(v, images_d, si):
+        # data passed as an arg, not a closure constant (jit would bake
+        # the whole val set into the executable)
+        images = jnp.take(images_d, si, axis=0)
+        out = model.apply(v, images, train=False)
+        # v2/v3 carry an extra no-object column — mAP uses defect columns
+        logits = out["logits"][..., :NUM_LABELS]
+        return post_process(logits, out["pred_boxes"], (IMG, IMG),
+                            threshold=0.05, max_det=16)
+
+    preds, gts = [], []
+    for s in range(n_seqs):
+        pp = jax.device_get(infer(variables, images_d, jnp.asarray(s)))
+        ch = chunks[s]
+        for t in range(SEQ_LEN):
+            v = pp["valid"][t]
+            preds.append({"boxes": np.asarray(pp["boxes"][t], np.float32)[v],
+                          "scores": np.asarray(pp["scores"][t],
+                                               np.float32)[v],
+                          "classes": pp["classes"][t][v]})
+            gm = ch.mask[t] > 0
+            gts.append({"boxes": ch.boxes[t][gm], "classes": ch.classes[t][gm]})
+    return evaluate_map(preds, gts, num_classes=NUM_LABELS)["mAP@0.5"]
+
+
+def eval_trunk_on_chunks(model, variables, data_d, chunks):
+    """Single-frame trunk mAP@0.5 on the SAME frames the temporal models
+    see — the temporal-vs-single-frame delta baseline."""
+    batch = SEQ_LEN
+    flat_images = data_d[0].reshape((-1,) + data_d[0].shape[2:])
+    gt_boxes = np.concatenate([c.boxes for c in chunks])
+    gt_classes = np.concatenate([c.classes for c in chunks])
+    gt_mask = np.concatenate([c.mask for c in chunks])
+
+    from pautdx.eval import evaluate_map
+    from pautdx.models.vision.dfine import post_process
+
+    n = int(flat_images.shape[0])
+
+    @jax.jit
+    def infer(v, data, a):
+        im = jax.lax.dynamic_slice_in_dim(data, a, batch, axis=0)
+        out = model.apply(v, im, train=False)
+        return post_process(out["logits"], out["pred_boxes"], (IMG, IMG),
+                            threshold=0.05, max_det=16)
+
+    preds, gts = [], []
+    for a in range(0, n - n % batch, batch):
+        pp = jax.device_get(infer(variables, flat_images, jnp.asarray(a)))
+        for i in range(batch):
+            t = a + i
+            v = pp["valid"][i]
+            preds.append({"boxes": np.asarray(pp["boxes"][i], np.float32)[v],
+                          "scores": np.asarray(pp["scores"][i],
+                                               np.float32)[v],
+                          "classes": pp["classes"][i][v]})
+            gm = gt_mask[t] > 0
+            gts.append({"boxes": gt_boxes[t][gm], "classes": gt_classes[t][gm]})
+    return evaluate_map(preds, gts, num_classes=NUM_LABELS)["mAP@0.5"]
+
+
+def measure_temporal_serving_fps(trunk_cfg, img=640):
+    """Serving fps of the 50-frame temporal runner at 640px.
+
+    Two numbers: device-side streaming scan over sequences (chip
+    capability, bench.py method) and the end-to-end
+    ``chunked_sequence_runner`` host loop (bridge-deployment shape,
+    `predict_sequence.py:7-53` analogue). Weights are init (speed only).
+    """
+    from pautdx.models.vision.dfine import post_process
+    from pautdx.models.vision.temporal_dfine import TemporalDFine
+    from pautdx.serve.endpoints import chunked_sequence_runner
+    from pautdx.serve.throughput import make_streaming_forward, measure_fps
+
+    serving = dataclasses.replace(trunk_cfg, decoder_method="discrete")
+    model = TemporalDFine(serving, variant="v3",
+                          num_temporal_labels=NUM_LABELS + 1)
+    variables = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((SEQ_LEN, img, img, 3), jnp.bfloat16),
+        train=False))(jax.random.PRNGKey(0))
+    variables = jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, t))(variables)
+
+    def apply_fn(frames):
+        out = model.apply(variables, frames, train=False)
+        return out["logits"], out["pred_boxes"]
+
+    stream = make_streaming_forward(apply_fn)
+    slab = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(4, SEQ_LEN, img, img, 3)), dtype=jnp.uint8)
+    fps_stream = measure_fps(stream, slab, n_calls=3)
+
+    # end-to-end chunked runner (host loop, per-chunk dispatch)
+    @jax.jit
+    def fwd(frames):
+        out = model.apply(variables, frames, train=False)
+        return post_process(out["logits"][..., :NUM_LABELS],
+                            out["pred_boxes"], (img, img),
+                            threshold=0.3, max_det=16)
+
+    def predict_fn(frames):
+        pp = jax.device_get(fwd(jnp.asarray(
+            frames.astype(np.float32) / 255.0, jnp.bfloat16)))
+        return [{"boxes": pp["boxes"][t][pp["valid"][t]]}
+                for t in range(frames.shape[0])]
+
+    frames = np.random.default_rng(1).integers(
+        0, 256, size=(3 * SEQ_LEN, img, img, 3)).astype(np.uint8)
+    chunked_sequence_runner(predict_fn, frames, seq_len=SEQ_LEN)  # warm up
+    t0 = time.perf_counter()
+    chunked_sequence_runner(predict_fn, frames, seq_len=SEQ_LEN)
+    fps_runner = frames.shape[0] / (time.perf_counter() - t0)
+    return fps_stream, fps_runner
+
+
+def run_temporal(args, results):
+    """Temporal D-FINE quality + serving fps (VERDICT r2 item 1)."""
+    global IMG, SEQ_LEN
+    img_saved, seq_saved = IMG, SEQ_LEN
+    # v3 trains the trunk decoder over 50-frame backwards: 320px keeps
+    # that honest AND affordable; the delta vs single-frame is the
+    # quantity of interest
+    IMG = 96 if args.quick else 320
+    SEQ_LEN = 8 if args.quick else 50
+    n_scans = 10 if args.quick else 60
+    from pautdx.models.vision.dfine import dfine_nano
+
+    trunk_cfg = dfine_nano(num_labels=NUM_LABELS)
+    print("== temporal (50-frame sequences, flickering defects) ==",
+          flush=True)
+    t_steps = min(args.steps, 2000)
+    seq_steps = 8 if args.quick else 400
+
+    n_train = 2 if args.quick else 20
+    n_val = 1 if args.quick else 8
+    train_chunks = make_temporal_dataset(range(200, 200 + n_train),
+                                         n_scans=n_scans, rng_seed=4)
+    val_chunks = make_temporal_dataset(range(700, 700 + n_val),
+                                       n_scans=n_scans, rng_seed=5)
+    print(f"  train seqs {len(train_chunks)}, val seqs {len(val_chunks)}",
+          flush=True)
+
+    tr = _stack_chunks(train_chunks)
+    va = _stack_chunks(val_chunks)
+    # trunk trains on the flattened frames of the SAME distribution
+    # (train() wants pixel boxes; rebuild from chunks)
+    flat_images = tr[0].reshape((-1,) + tr[0].shape[2:])
+    flat_boxes = np.concatenate([c.boxes for c in train_chunks])
+    flat_classes = np.concatenate([c.classes for c in train_chunks])
+    flat_mask = np.concatenate([c.mask for c in train_chunks])
+    trunk_data = (flat_images, flat_boxes, flat_classes, flat_mask)
+
+    print("  -- trunk (single-frame) --", flush=True)
+    trunk_model, trunk_vars = train(trunk_cfg, trunk_data, t_steps,
+                                    args.batch)
+
+    tr_d = tuple(jax.device_put(jnp.asarray(a)) for a in tr)
+    va_d = tuple(jax.device_put(jnp.asarray(a)) for a in va)
+
+    m_trunk = eval_trunk_on_chunks(trunk_model, trunk_vars, va_d, val_chunks)
+    print(f"    trunk single-frame mAP@0.5 = {m_trunk:.4f}", flush=True)
+
+    out = {"img_size": IMG, "seq_len": SEQ_LEN,
+           "flicker": 0.65, "trunk_steps": t_steps,
+           "temporal_steps": seq_steps,
+           "single_frame_map50": m_trunk}
+    for variant in ("v1", "v3"):
+        tm, tv = train_temporal(variant, trunk_cfg, trunk_vars, tr_d,
+                                len(train_chunks), seq_steps)
+        m = eval_temporal(tm, tv, va_d, val_chunks)
+        out[f"{variant}_map50"] = m
+        out[f"{variant}_delta_vs_single"] = m - m_trunk
+        print(f"    {variant} mAP@0.5 = {m:.4f} "
+              f"(delta {m - m_trunk:+.4f})", flush=True)
+    del tr_d, va_d
+
+    if not args.quick:
+        fps_stream, fps_runner = measure_temporal_serving_fps(trunk_cfg)
+        out["serving_fps_640_stream"] = round(fps_stream, 2)
+        out["serving_fps_640_chunked_runner"] = round(fps_runner, 2)
+        print(f"    serving fps (640px, seq50): stream {fps_stream:.0f}, "
+              f"chunked runner {fps_runner:.0f}", flush=True)
+    results["temporal"] = out
+    IMG, SEQ_LEN = img_saved, seq_saved
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -388,7 +755,9 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke run (CPU-able)")
     ap.add_argument("--out", default="BENCH_ACCURACY.json")
-    ap.add_argument("--only", choices=["parity_small", "nano"], default=None,
+    ap.add_argument("--only",
+                    choices=["parity_small", "nano", "temporal"],
+                    default=None,
                     help="run a single config (e.g. after a relay wedge "
                          "killed a full run; merge results by hand)")
     args = ap.parse_args()
@@ -405,17 +774,24 @@ def main():
         IMG = 128
         args.steps = min(args.steps, 60)
 
-    print("dataset: synthesizing volumes ...", flush=True)
-    train_data = make_dataset(range(100, 125), rng_seed=1)
-    val_data = make_dataset(range(500, 504), rng_seed=2)
-    print(f"  train frames {train_data[0].shape}, val {val_data[0].shape}",
-          flush=True)
-
     results = {"img_size": IMG, "steps": args.steps, "batch": args.batch,
-               "val_frames": int(val_data[0].shape[0]),
-               "train_frames": int(train_data[0].shape[0]),
                "device": str(jax.devices()[0]).split(":")[0]}
+    if args.only is not None and os.path.exists(args.out):
+        # --only reruns merge into the existing artifact
+        with open(args.out) as f:
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
     cfgs = configs()
+
+    if args.only in (None, "parity_small", "nano"):
+        print("dataset: synthesizing volumes ...", flush=True)
+        train_data = make_dataset(range(100, 125), rng_seed=1)
+        val_data = make_dataset(range(500, 504), rng_seed=2)
+        print(f"  train frames {train_data[0].shape}, "
+              f"val {val_data[0].shape}", flush=True)
+        results["val_frames"] = int(val_data[0].shape[0])
+        results["train_frames"] = int(train_data[0].shape[0])
 
     def dump(tag, variables):
         from pautdx.compat.dfine_import import _flatten
@@ -431,6 +807,8 @@ def main():
         run_parity(args, cfgs, train_data, val_data, results, dump)
     if args.only in (None, "nano"):
         run_nano(args, cfgs, train_data, val_data, results, dump)
+    if args.only in (None, "temporal"):
+        run_temporal(args, results)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
