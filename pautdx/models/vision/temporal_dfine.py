@@ -33,7 +33,7 @@ trains:
 Input is one sequence of T frames ``(T, H, W, 3)``; the trunk treats T
 as its batch. What trains is an optimizer concern:
 :func:`trainable_mask` returns the per-variant boolean pytree for
-``optax.masked`` — plus ``stop_trunk_gradient`` (v1/v2) cuts the graph
+``optax.multi_transform`` — plus ``stop_trunk_gradient`` (v1/v2) cuts the graph
 like the reference's full freeze so the backward never enters the trunk.
 """
 
@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pautdx.models.vision.dfine import (
-    DFine, DFineConfig, distance2bbox, integral, weighting_function,
+    DFine, DFineConfig, MLPHead, distance2bbox, integral,
+    weighting_function,
 )
 from pautdx.nn.recurrent import BiGRU
 from pautdx.nn.transformer import Encoder
@@ -102,10 +103,17 @@ class TemporalDFine(nn.Module):
             context = nn.Dense(D, name="context_projector")(context)
             feats = jnp.swapaxes(fused_qt * attn + context, 0, 1)
         else:
-            feats = hidden + jnp.swapaxes(fused_qt, 0, 1)  # residual fusion
+            # heads run on the encoder output directly (temporal_dfine.py:
+            # 167-172 — `fused = temporal_encoder(feats)` then heads(fused);
+            # the tiny init makes this ≈ identity at step 0, so the copied
+            # trunk heads start from trunk-quality predictions)
+            feats = jnp.swapaxes(fused_qt, 0, 1)
 
         scores = nn.Dense(self.head_labels, name="class_head")(feats)
-        corners = nn.Dense(4 * (c.max_num_bins + 1), name="bbox_head")(feats)
+        # full 3-layer MLP, same shape as the trunk's bbox_embed[-1] the
+        # reference aliases (`self.bbox_head = self.dfine.bbox_embed[-1]`)
+        corners = MLPHead(c.d_model, 4 * (c.max_num_bins + 1), 3,
+                          name="bbox_head")(feats)
         if self.variant == "v1":
             # trunk's non-uniform FDR grid (temporal_dfine.py:175-181)
             project = weighting_function(c.max_num_bins, c.up, c.reg_scale)
@@ -146,7 +154,10 @@ def temporal_consistency_loss(anomaly: jnp.ndarray) -> jnp.ndarray:
 
 
 def trainable_mask(variant: str, params) -> Any:
-    """Boolean pytree for ``optax.masked``: which params train per variant.
+    """Boolean pytree of which params train per variant. Use with
+    ``optax.multi_transform({True: tx, False: optax.set_to_zero()}, mask)``
+    — NOT ``optax.masked``, which passes raw gradients through unchanged
+    as updates for masked-out leaves (gradient ascent on frozen params).
 
     v1: temporal encoder only (reference freezes everything else,
     `temporal_dfine.py:133-139`); v2: + the fresh class head
@@ -169,9 +180,13 @@ def trainable_mask(variant: str, params) -> Any:
 
 
 def init_heads_from_trunk(variables: Dict, variant: str = "v1") -> Dict:
-    """Copy the trunk's final class/bbox head params into the temporal
-    heads — the flax analogue of the reference aliasing
-    ``self.class_head = dfine.class_embed[-1]``.
+    """Reference-faithful post-init: copy the trunk's final class/bbox
+    head params into the temporal heads (the flax analogue of
+    ``self.class_head = dfine.class_embed[-1]; self.bbox_head =
+    dfine.bbox_embed[-1]``, `temporal_dfine.py:152-154`) and tiny-init
+    the temporal encoder (normal std 1e-3 kernels, zero biases,
+    LayerNorms untouched — :143-150), so at step 0 the post-norm stack
+    is ≈ identity and the model starts from trunk-quality predictions.
 
     v1 copies both heads; v2/v3 copy only the bbox head when the class
     head widths differ (the reference's ``ignore_mismatched_sizes=True``
@@ -182,11 +197,19 @@ def init_heads_from_trunk(variables: Dict, variant: str = "v1") -> Dict:
     last = max(int(k.rsplit(".", 1)[1]) for k in trunk
                if k.startswith("class_embed."))
     cls_src = trunk[f"class_embed.{last}"]
-    bbox_src = trunk[f"bbox_embed.{last}"]["layers.2"]  # final MLP layer
+    bbox_src = trunk[f"bbox_embed.{last}"]        # full 3-layer MLP
     if tuple(params["class_head"]["kernel"].shape) == \
             tuple(cls_src["kernel"].shape):
         params["class_head"] = dict(cls_src)
-    params["bbox_head"] = dict(bbox_src)
+    params["bbox_head"] = jax.tree_util.tree_map(lambda x: x, bbox_src)
+
+    def tiny(x):
+        if x.ndim >= 2:      # Dense kernels: rescale to std 1e-3
+            return x * (1e-3 / (jnp.std(x) + 1e-12))
+        return x             # biases already 0, LayerNorm scales stay 1
+    params["temporal_encoder"] = jax.tree_util.tree_map(
+        tiny, params["temporal_encoder"])
+
     new_vars = dict(variables)
     new_vars["params"] = params
     return new_vars

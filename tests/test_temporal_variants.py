@@ -94,9 +94,15 @@ def test_init_heads_from_trunk_seeding():
     np.testing.assert_array_equal(
         seeded["params"]["class_head"]["kernel"],
         trunk[f"class_embed.{last}"]["kernel"])
-    np.testing.assert_array_equal(
-        seeded["params"]["bbox_head"]["kernel"],
-        trunk[f"bbox_embed.{last}"]["layers.2"]["kernel"])
+    for layer in ("layers.0", "layers.1", "layers.2"):
+        np.testing.assert_array_equal(
+            seeded["params"]["bbox_head"][layer]["kernel"],
+            trunk[f"bbox_embed.{last}"][layer]["kernel"])
+    # temporal encoder kernels are tiny-initialized (reference std 1e-3)
+    for leaf in jax.tree_util.tree_leaves(
+            seeded["params"]["temporal_encoder"]):
+        if leaf.ndim >= 2:
+            assert float(np.std(np.asarray(leaf))) < 2e-3
     # v2: class head widths differ -> stays fresh; bbox head still copied
     _, v2_vars = _init("v2")
     before = np.asarray(v2_vars["params"]["class_head"]["kernel"]).copy()
@@ -104,7 +110,7 @@ def test_init_heads_from_trunk_seeding():
     np.testing.assert_array_equal(
         np.asarray(seeded["params"]["class_head"]["kernel"]), before)
     np.testing.assert_array_equal(
-        seeded["params"]["bbox_head"]["kernel"],
+        seeded["params"]["bbox_head"]["layers.2"]["kernel"],
         seeded["params"]["trunk"][f"bbox_embed.{last}"]["layers.2"]["kernel"])
 
 

@@ -418,8 +418,9 @@ def make_temporal_dataset(seeds, n_scans=60, rng_seed=0, flicker=0.65):
             for _ in range(int(rng.integers(1, 4))):
                 b0 = int(rng.integers(0, n_beams - 2))
                 b1 = int(rng.integers(b0 + 1, n_beams))
-                s0 = int(rng.integers(0, n_scans - 20))
-                s1 = int(rng.integers(s0 + 15, min(s0 + 40, n_scans)))
+                s0 = int(rng.integers(0, max(1, n_scans - 20)))
+                s1 = int(rng.integers(min(s0 + 15, n_scans - 1),
+                                      min(s0 + 40, n_scans)))
                 d0 = float(rng.uniform(0.15, 0.6))
                 d1 = float(d0 + rng.uniform(0.08, 0.25))
                 label = "Delamination" if rng.random() < 0.5 else "FO"
@@ -505,9 +506,13 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
         opt = optax.chain(optax.clip_by_global_norm(1.0),
                           optax.multi_transform(tx, labels))
     else:
+        # NOT optax.masked: masked leaves pass raw grads through as
+        # updates (ascent on the frozen heads) — zero them explicitly
         opt = optax.chain(
             optax.clip_by_global_norm(1.0),
-            optax.masked(optax.adamw(2e-4, weight_decay=0.01), mask))
+            optax.multi_transform(
+                {True: optax.adamw(2e-4, weight_decay=0.01),
+                 False: optax.set_to_zero()}, mask))
     opt_state = opt.init(params)
 
     def loss_fn(p, images, gtb, gtc, gtm, key):
