@@ -195,7 +195,8 @@ def _cmd_train_bscan(args) -> None:
         from pautdx.losses.yolo import yolo_loss
         from pautdx.models.vision import YOLO, YoloConfig
 
-        cfg = YoloConfig(num_classes=args.num_classes, scale=args.scale)
+        cfg = YoloConfig(num_classes=args.num_classes, scale=args.scale,
+                         flavour=args.flavour)
         model = YOLO(cfg)
 
         def objective(out, batch):
@@ -236,7 +237,8 @@ def _cmd_train_bscan(args) -> None:
         print(f"[epoch {epoch}] " + " ".join(
             f"{k}={v:.4f}" for k, v in metrics.items()))
         meta = {"detector": args.detector, "num_classes": args.num_classes,
-                "size": args.size, "scale": args.scale}
+                "size": args.size, "scale": args.scale,
+                "flavour": args.flavour}
         if args.detector == "dfine":
             from pautdx.models.vision.dfine import config_to_dict
             meta["dfine_config"] = config_to_dict(cfg)
@@ -247,7 +249,8 @@ def _cmd_train_bscan(args) -> None:
 
 
 def _build_detector_forward(detector: str, num_classes: int, scale: str,
-                            size: int, checkpoint, threshold: float):
+                            size: int, checkpoint, threshold: float,
+                            flavour: str = "v8"):
     """Jitted detector forward: images (T, H, W, 3) -> fixed-size
     detections {boxes, scores, classes, valid}. Shared by predict-bscan
     and inspect."""
@@ -266,7 +269,8 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
         from pautdx.ops import dense_to_detections
 
         cfg = YoloConfig(num_classes=meta.get("num_classes", num_classes),
-                         scale=meta.get("scale", scale))
+                         scale=meta.get("scale", scale),
+                         flavour=meta.get("flavour", flavour))
         model = YOLO(cfg)
     else:
         from pautdx.models.vision.dfine import (
@@ -330,7 +334,8 @@ def _cmd_predict_bscan(args) -> None:
     os.makedirs(args.out, exist_ok=True)
     forward = _build_detector_forward(args.detector, args.num_classes,
                                       args.scale, args.size,
-                                      args.checkpoint, args.threshold)
+                                      args.checkpoint, args.threshold,
+                                      flavour=args.flavour)
     results = {}
     for entry in sorted(os.listdir(args.data)):
         path = os.path.join(args.data, entry)
@@ -382,7 +387,7 @@ def _cmd_inspect(args) -> None:
         if args.checkpoint:
             forward = _build_detector_forward(
                 args.detector, args.num_classes, args.scale, args.size,
-                args.checkpoint, args.threshold)
+                args.checkpoint, args.threshold, flavour=args.flavour)
         sequences = []
         for seq, vol in _iter_volumes(args.data):
             imgs, ann = render_volume_dataset(vol, args.size, args.size)
@@ -676,6 +681,8 @@ def main(argv=None) -> None:
     tb.add_argument("--size", type=int, default=320)
     tb.add_argument("--num-classes", type=int, default=1)
     tb.add_argument("--scale", default="n")
+    tb.add_argument("--flavour", default="v8",
+        choices=("v8", "v5", "v9c", "v11"))
     tb.add_argument("--max-boxes", type=int, default=8)
     tb.add_argument("--batch-size", type=int, default=8)
     tb.add_argument("--epochs", type=int, default=10)
@@ -691,6 +698,8 @@ def main(argv=None) -> None:
     pb.add_argument("--size", type=int, default=320)
     pb.add_argument("--num-classes", type=int, default=2)
     pb.add_argument("--scale", default="n")
+    pb.add_argument("--flavour", default="v8",
+        choices=("v8", "v5", "v9c", "v11"))
     pb.add_argument("--threshold", type=float, default=0.3)
     pb.add_argument("--overlays", action="store_true")
     pb.set_defaults(fn=_cmd_predict_bscan)
@@ -705,6 +714,8 @@ def main(argv=None) -> None:
     ins.add_argument("--size", type=int, default=320)
     ins.add_argument("--num-classes", type=int, default=2)
     ins.add_argument("--scale", default="n")
+    ins.add_argument("--flavour", default="v8",
+        choices=("v8", "v5", "v9c", "v11"))
     ins.add_argument("--threshold", type=float, default=0.3)
     ins.set_defaults(fn=_cmd_inspect)
 

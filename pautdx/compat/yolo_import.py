@@ -16,9 +16,10 @@ one from a ``.pt`` file:
 
 The mapping is a pure key translation: Ultralytics's
 ``model.{layer_idx}.{submodule...}`` grammar -> our named flax tree,
-via the per-flavour layer tables below (yolov8.yaml / yolov5.yaml
-layer indices). ``v9`` (a different architecture family) is out of
-scope and rejected explicitly.
+via the per-flavour layer tables below (yolov8 / yolov5 / yolov9c /
+yolo11 yaml layer indices). Submodule names inside a layer mirror the
+torch tree exactly (cv1/cv2.0/m.N/attn.qkv/...), so no per-block rules
+are needed.
 """
 
 from __future__ import annotations
@@ -52,6 +53,28 @@ _V5_TABLE = {
     24: "HEAD",
 }
 
+# yolov9c(-seg).yaml indices: GELAN stages, ADown downsamplers, SPPELAN
+_V9C_TABLE = {
+    0: "backbone.stem", 1: "backbone.down1", 2: "backbone.c1",
+    3: "backbone.down2", 4: "backbone.c2", 5: "backbone.down3",
+    6: "backbone.c3", 7: "backbone.down4", 8: "backbone.c4",
+    9: "backbone.sppf",
+    12: "neck.td4", 15: "neck.td3", 16: "neck.d3", 18: "neck.bu4",
+    19: "neck.d4", 21: "neck.bu5",
+    22: "HEAD",
+}
+
+# yolo11.yaml indices: C3k2 stages + C2PSA at 10, head shifted to 23
+_V11_TABLE = {
+    0: "backbone.stem", 1: "backbone.down1", 2: "backbone.c1",
+    3: "backbone.down2", 4: "backbone.c2", 5: "backbone.down3",
+    6: "backbone.c3", 7: "backbone.down4", 8: "backbone.c4",
+    9: "backbone.sppf", 10: "backbone.psa",
+    13: "neck.td4", 16: "neck.td3", 17: "neck.d3", 19: "neck.bu4",
+    20: "neck.d4", 22: "neck.bu5",
+    23: "HEAD",
+}
+
 
 def _normalize_keys(torch_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Strip leading 'model.' wrappers until keys start with an int."""
@@ -83,10 +106,12 @@ def convert_yolo_state_dict(torch_sd: Dict[str, np.ndarray],
                             flavour: str = "v8"
                             ) -> Tuple[Dict, List[str]]:
     """Return (variables, unused_torch_keys); raises on unmatched targets."""
-    if flavour not in ("v8", "v5"):
-        raise ValueError(f"unsupported flavour {flavour!r} (v9 is a "
-                         "different architecture family — not importable)")
-    table = _V8_TABLE if flavour == "v8" else _V5_TABLE
+    tables = {"v8": _V8_TABLE, "v5": _V5_TABLE, "v9c": _V9C_TABLE,
+              "v11": _V11_TABLE}
+    if flavour not in tables:
+        raise ValueError(f"unsupported flavour {flavour!r} "
+                         f"(known: {sorted(tables)})")
+    table = tables[flavour]
     sd = _normalize_keys(torch_sd)
 
     new_params: Dict[str, np.ndarray] = {}

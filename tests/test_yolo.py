@@ -20,7 +20,7 @@ def _init(model, shape):
     return v, x
 
 
-@pytest.mark.parametrize("flavour", ["v8", "v5"])
+@pytest.mark.parametrize("flavour", ["v8", "v5", "v9c", "v11"])
 def test_yolo_forward_and_decode(flavour):
     cfg = YoloConfig(num_classes=2, scale="n", flavour=flavour)
     model = YOLO(cfg)
@@ -34,6 +34,52 @@ def test_yolo_forward_and_decode(flavour):
     assert d["boxes"].shape == (1, A, 4)
     assert d["scores"].shape == (1, A, 2)
     assert np.isfinite(np.asarray(d["boxes"])).all()
+
+
+@pytest.mark.parametrize("flavour,seg", [("v9c", True), ("v11", False)])
+def test_new_flavours_train_steps(flavour, seg):
+    """v9c-seg (`yolo_seg_train.py:5-19`) and yolo11n
+    (`yolo/yolo_bbox_retrain.py:6-18`) train: loss finite and decreasing
+    over a few steps (full-size blocks; kept short for CPU CI)."""
+    import optax
+    from pautdx.losses.yolo import yolo_loss
+
+    cfg = YoloConfig(num_classes=1, scale="n", flavour=flavour, seg=seg)
+    model = YOLO(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, IMG, IMG, 3)).astype(np.float32))
+    gt_boxes = jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]], jnp.float32)
+    gt_classes = jnp.zeros((1, 1), jnp.int32)
+    gt_mask = jnp.ones((1, 1))
+    gt_masks = None
+    if seg:
+        gm = np.zeros((1, 1, IMG // 4, IMG // 4), np.float32)
+        gm[:, :, 2:10, 2:10] = 1.0
+        gt_masks = jnp.asarray(gm)
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, bs, opt_state):
+        def lf(p):
+            out, mut = model.apply({"params": p, "batch_stats": bs}, x,
+                                   train=True, mutable=["batch_stats"])
+            loss, _ = yolo_loss(out, gt_boxes, gt_classes, gt_mask, cfg,
+                                (IMG, IMG), gt_masks=gt_masks)
+            return loss, mut["batch_stats"]
+        (loss, new_bs), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, bs, opt_state, loss = step(params, bs, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
 
 
 def test_yolo_seg_outputs():
