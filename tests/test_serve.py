@@ -125,3 +125,53 @@ def test_signal_endpoint_overflow_buckets():
     # chunking must agree with per-sample predictions
     single = ep.predict(big[:1])
     np.testing.assert_allclose(out["prob"][:1], single["prob"], rtol=1e-5)
+
+
+def test_int8_weight_quantization_roundtrip_and_outputs():
+    """Weight-only int8 (SURVEY §7 stage 8): per-channel roundtrip error
+    bounded by half a quantization step, and the quantized model's
+    outputs stay close to the float model's on a real forward."""
+    from pautdx.models.vision.yolo import YOLO, YoloConfig
+    from pautdx.serve.quantize import (
+        dequantize_variables, make_quantized_apply, quantize_variables,
+        quantized_bytes,
+    )
+
+    cfg = YoloConfig(num_classes=2, scale="n")
+    model = YOLO(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+
+    qvars = quantize_variables(variables, min_size=1024)
+    # at least the big conv kernels must actually be int8
+    n_q = sum(1 for l in jax.tree_util.tree_leaves(qvars)
+              if l.dtype == jnp.int8)
+    assert n_q >= 10
+    stored, dense = quantized_bytes(qvars["params"])
+    assert stored < 0.75 * dense
+
+    # elementwise roundtrip bound: |w - q*s| <= s/2 per output channel
+    deq = dequantize_variables(qvars, dtype=jnp.float32)
+
+    def check(path, w, d):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "kernel" and w.ndim >= 2 and w.size >= 1024:
+            s = np.max(np.abs(np.asarray(w)), axis=tuple(
+                range(w.ndim - 1)), keepdims=True) / 127.0
+            err = np.abs(np.asarray(w) - np.asarray(d))
+            assert (err <= s / 2 + 1e-7).all()
+
+    jax.tree_util.tree_map_with_path(
+        check, variables["params"], deq["params"])
+
+    # full forward: quantized outputs track float outputs
+    out_f = model.apply(variables, x, train=False)
+    apply_q, _ = make_quantized_apply(model, variables, min_size=1024,
+                                      dtype=jnp.float32)
+    out_q = apply_q(x)
+    ref = np.asarray(out_f["levels"][0]["cls"], np.float32)
+    got = np.asarray(out_q["levels"][0]["cls"], np.float32)
+    assert np.max(np.abs(ref - got)) < 0.15
+    assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.99
