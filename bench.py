@@ -62,8 +62,13 @@ def main():
     # reference's PNG pipeline); dequantized to bf16 on device. Quality
     # at this exact serving mode is measured by tools/bench_accuracy.py
     # (jax_map50_serving_uint8_input).
-    slab = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, size=(n_steps, batch, img, img, 3)), dtype=jnp.uint8)
+    # slab generated ON DEVICE: host-side rng for 630MB takes minutes on
+    # this box (measured 150-370s); the TPU does it in milliseconds and
+    # the timing is data-independent anyway
+    slab = jax.jit(lambda k: jax.random.randint(
+        k, (n_steps, batch, img, img, 3), 0, 256,
+        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
+    jax.block_until_ready(slab)
     fps = measure_fps(stream, slab, n_calls=3)
 
     print(json.dumps({

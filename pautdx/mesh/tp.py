@@ -16,7 +16,17 @@ Rules (path regex -> PartitionSpec), applied to any flax param tree:
   their biases over tp as well.
 - ``out_proj`` and ``fc2`` kernels: row-parallel — in dim over tp; their
   biases replicated (the psum output is already full-size).
-- everything else (convs, norms, embeddings, heads): replicated.
+- HGNet ``aggregation.0`` / ``aggregation.1`` conv kernels: the 1x1
+  squeeze/excite pair at the end of every backbone block — the two
+  largest weights in D-FINE. ``aggregation.0`` is column-parallel on
+  C_out, ``aggregation.1`` row-parallel on C_in; the BatchNorm between
+  them is per-channel elementwise, so the partitioner slices its
+  replicated (C,) vectors locally and the only collective is the psum
+  of the row conv's output (classic Megatron pair, conv edition).
+- everything else (remaining convs, norms, embeddings, heads):
+  replicated. Measured coverage on ``dfine_nano``: :func:`tp_coverage`
+  reports the sharded fraction of parameter bytes — cite that number,
+  not "Megatron-style", when describing the tp story.
 
 A rule only fires when the sharded dim divides evenly by the tp axis
 size; otherwise that leaf stays replicated (correct, just not split).
@@ -42,6 +52,12 @@ def _rules(tp: str):
         (re.compile(rf"(?:^|/)(?:{col})/kernel$"), P(None, tp)),
         (re.compile(rf"(?:^|/)(?:{col})/bias$"), P(tp)),
         (re.compile(rf"(?:^|/)(?:{row})/kernel$"), P(tp, None)),
+        # HGNet block tail: aggregation.0 (1x1, col on C_out) feeds
+        # aggregation.1 (1x1, row on C_in) — conv kernels are HWIO.
+        (re.compile(r"aggregation\.0/convolution/kernel$"),
+         P(None, None, None, tp)),
+        (re.compile(r"aggregation\.1/convolution/kernel$"),
+         P(None, None, tp, None)),
     ]
 
 
@@ -71,6 +87,21 @@ def tp_spec_tree(params, tp_size: int, tp_axis: str = "tp"):
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_coverage(params, tp_size: int, tp_axis: str = "tp") -> float:
+    """Fraction of parameter BYTES the tp rules actually shard — the
+    honest number behind any "tensor-parallel" claim (VERDICT r2)."""
+    specs = tp_spec_tree(params, tp_size, tp_axis)
+    sharded = total = 0
+    for leaf, spec in zip(jax.tree_util.tree_leaves(params),
+                          jax.tree_util.tree_leaves(
+                              specs, is_leaf=lambda x: isinstance(x, P))):
+        nbytes = leaf.size * leaf.dtype.itemsize
+        total += nbytes
+        if any(a is not None for a in spec):
+            sharded += nbytes
+    return sharded / max(total, 1)
 
 
 def tp_shardings(params, mesh: Mesh, tp_axis: str = "tp"):

@@ -7,7 +7,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pautdx.mesh.tp import mesh_2d, shard_params, tp_spec_tree, tp_shardings
+from pautdx.mesh.tp import (
+    mesh_2d, shard_params, tp_coverage, tp_spec_tree, tp_shardings,
+)
 
 
 def _fake_params():
@@ -39,6 +41,65 @@ def test_spec_rules():
     assert blk["fc2"]["kernel"] == P("tp", None)
     assert blk["norm"]["scale"] == P()
     assert specs["conv"]["kernel"] == P()
+
+
+def test_aggregation_conv_pair_rules():
+    """HGNet aggregation.0/.1 kernels get the conv Megatron pair."""
+    params = {"stages.0": {"blocks.0": {
+        "aggregation.0": {"convolution": {"kernel": jnp.ones((1, 1, 64, 32))}},
+        "aggregation.1": {"convolution": {"kernel": jnp.ones((1, 1, 32, 64))}},
+        "layers.0": {"convolution": {"kernel": jnp.ones((3, 3, 16, 16))}},
+    }}}
+    specs = tp_spec_tree(params, tp_size=2)
+    blk = specs["stages.0"]["blocks.0"]
+    assert blk["aggregation.0"]["convolution"]["kernel"] == \
+        P(None, None, None, "tp")
+    assert blk["aggregation.1"]["convolution"]["kernel"] == \
+        P(None, None, "tp", None)
+    assert blk["layers.0"]["convolution"]["kernel"] == P()
+
+
+def test_hgnet_backbone_tp_forward_matches_replicated():
+    """Real HGNet backbone: sharded-under-GSPMD forward == replicated
+    forward, and the rules cover a meaningful fraction of its bytes."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from pautdx.models.vision.hgnet import HGNetConfig, HGNetV2
+
+    cfg = HGNetConfig(
+        stem_channels=(3, 8, 8), stage_in_channels=(8, 16, 32, 64),
+        stage_mid_channels=(8, 8, 16, 32),
+        stage_out_channels=(16, 32, 64, 128),
+        stage_num_blocks=(1, 1, 1, 1), stage_num_layers=(1, 1, 2, 2),
+    )
+    model = HGNetV2(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 64, 64, 3)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    want = model.apply(variables, x, train=False)
+
+    mesh = mesh_2d(8, tp=2)
+    assert tp_coverage(variables["params"], tp_size=2) > 0.25
+    psh = tp_shardings(variables["params"], mesh)
+    params_sh = jax.tree_util.tree_map(jax.device_put,
+                                       variables["params"], psh)
+    xsh = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p,
+                            "batch_stats": variables["batch_stats"]},
+                           x, train=False)
+
+    got = fwd(params_sh, xsh)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_indivisible_dim_falls_back_to_replication():

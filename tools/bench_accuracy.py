@@ -655,26 +655,33 @@ def measure_temporal_serving_fps(trunk_cfg, img=640):
         return out["logits"], out["pred_boxes"]
 
     stream = make_streaming_forward(apply_fn)
-    slab = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, size=(4, SEQ_LEN, img, img, 3)), dtype=jnp.uint8)
+    # on-device slab generation (host rng takes minutes for GB slabs here)
+    slab = jax.jit(lambda k: jax.random.randint(
+        k, (4, SEQ_LEN, img, img, 3), 0, 256,
+        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
+    jax.block_until_ready(slab)
     fps_stream = measure_fps(stream, slab, n_calls=3)
 
     # end-to-end chunked runner (host loop, per-chunk dispatch)
     @jax.jit
     def fwd(frames):
+        frames = frames.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
         out = model.apply(variables, frames, train=False)
         return post_process(out["logits"][..., :NUM_LABELS],
                             out["pred_boxes"], (img, img),
                             threshold=0.3, max_det=16)
 
     def predict_fn(frames):
-        pp = jax.device_get(fwd(jnp.asarray(
-            frames.astype(np.float32) / 255.0, jnp.bfloat16)))
+        # uint8 wire format: frames ship to the device as-is and are
+        # dequantized there (the bridge contract; host float conversion
+        # would 4x the transfer AND burn host CPU)
+        pp = jax.device_get(fwd(jnp.asarray(frames)))
         return [{"boxes": pp["boxes"][t][pp["valid"][t]]}
                 for t in range(frames.shape[0])]
 
-    frames = np.random.default_rng(1).integers(
-        0, 256, size=(3 * SEQ_LEN, img, img, 3)).astype(np.uint8)
+    frames = np.asarray(jax.jit(lambda k: jax.random.randint(
+        k, (3 * SEQ_LEN, img, img, 3), 0, 256,
+        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(1)))
     chunked_sequence_runner(predict_fn, frames, seq_len=SEQ_LEN)  # warm up
     t0 = time.perf_counter()
     chunked_sequence_runner(predict_fn, frames, seq_len=SEQ_LEN)

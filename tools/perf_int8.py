@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--min-size", type=int, default=4096)
+    ap.add_argument("--mode", choices=["bf16", "int8", "both"],
+                    default="both",
+                    help="run one arm per invocation when the relay is "
+                         "slow; results print per-arm")
     args = ap.parse_args()
 
     try:
@@ -51,36 +55,43 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, t))(variables)
 
-    slab = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, size=(args.steps, args.batch, args.img, args.img, 3)),
-        dtype=jnp.uint8)
+    # on-device slab generation (host rng takes minutes for 630MB here)
+    slab = jax.jit(lambda k: jax.random.randint(
+        k, (args.steps, args.batch, args.img, args.img, 3), 0, 256,
+        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
+    jax.block_until_ready(slab)
 
-    def bf16_apply(images):
-        out = model.apply(variables, images, train=False)
-        return out["logits"], out["pred_boxes"]
+    out = {"img": args.img, "batch": args.batch}
+    print(f"slab ready {slab.shape}", flush=True)
 
-    fps_bf16 = measure_fps(make_streaming_forward(bf16_apply), slab)
+    if args.mode in ("bf16", "both"):
+        def bf16_apply(images):
+            o = model.apply(variables, images, train=False)
+            return o["logits"], o["pred_boxes"]
 
-    q_apply, qvars = make_quantized_apply(model, variables,
-                                          min_size=args.min_size)
+        out["fps_bf16"] = round(
+            measure_fps(make_streaming_forward(bf16_apply), slab), 1)
+        print(f"bf16: {out['fps_bf16']} fps", flush=True)
 
-    def int8_apply(images):
-        out = q_apply(images)
-        return out["logits"], out["pred_boxes"]
+    if args.mode in ("int8", "both"):
+        q_apply, qvars = make_quantized_apply(model, variables,
+                                              min_size=args.min_size)
 
-    fps_int8 = measure_fps(make_streaming_forward(int8_apply), slab)
+        def int8_apply(images):
+            o = q_apply(images)
+            return o["logits"], o["pred_boxes"]
 
-    stored, dense = quantized_bytes(quantize_variables(variables,
-                                                       args.min_size))
-    print(json.dumps({
-        "img": args.img, "batch": args.batch,
-        "fps_bf16": round(fps_bf16, 1),
-        "fps_int8_weights": round(fps_int8, 1),
-        "speedup": round(fps_int8 / fps_bf16, 4),
-        "weight_bytes_stored": stored,
-        "weight_bytes_bf16": dense,
-        "bytes_ratio": round(stored / dense, 4),
-    }))
+        out["fps_int8_weights"] = round(
+            measure_fps(make_streaming_forward(int8_apply), slab), 1)
+        print(f"int8: {out['fps_int8_weights']} fps", flush=True)
+        stored, dense = quantized_bytes(qvars)
+        out["weight_bytes_stored"] = stored
+        out["weight_bytes_bf16"] = dense
+        out["bytes_ratio"] = round(stored / dense, 4)
+
+    if "fps_bf16" in out and "fps_int8_weights" in out:
+        out["speedup"] = round(out["fps_int8_weights"] / out["fps_bf16"], 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
