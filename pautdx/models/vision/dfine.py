@@ -83,6 +83,11 @@ class DFineConfig:
     # (TPU-native jax.lax.approx_max_k — avoids a full sort over all
     # anchors; selection is a heuristic, so approximate recall is free)
     query_topk: str = "exact"
+    # AIFI FFN gelu: False = exact erf (HF torch parity; XLA lowers erf
+    # as an f32 custom call, upcasting the whole bf16 FFN — measured
+    # ~0.6 ms/iter at 640px b32), True = tanh approximation (stays bf16,
+    # MXU-adjacent elementwise only). pautdx-native presets use True.
+    encoder_act_approx: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -129,6 +134,7 @@ def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
         # fewer taps; per-head attention weights unchanged)
         decoder_shared_points=True,
         query_topk="approx",
+        encoder_act_approx=True,
         num_feature_levels=levels, feat_strides=strides,
         backbone=HGNetConfig(
             stem=("patchify8" if stride8_stem
@@ -365,7 +371,7 @@ class EncoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(
             x + drop(a, c.dropout))
         h = nn.gelu(nn.Dense(c.encoder_ffn_dim, name="fc1")(x),
-                    approximate=False)
+                    approximate=c.encoder_act_approx)
         h = nn.Dense(c.encoder_hidden_dim, name="fc2")(drop(
             h, c.activation_dropout))
         return nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(

@@ -42,6 +42,10 @@ class HGNetConfig:
     # narrow-channel conv work (the model is HBM-bound and those stages
     # are mostly layout churn + half-empty lanes at serving batch).
     stem: str = "hgnet"
+    # patchify stems only: express the patch conv as space-to-depth +
+    # matmul (identical math and params; avoids XLA's conv input-layout
+    # copy — see _S2DProj)
+    stem_s2d: bool = False
     # first stage to run (patchify8 presets set 2: the stem already
     # provides that stage's input stride and channel count)
     start_stage: int = 0
@@ -187,8 +191,39 @@ class Stage(nn.Module):
         return x
 
 
+class _S2DProj(nn.Module):
+    """The patchify conv as space-to-depth + matmul.
+
+    A k=p/s=p conv is exactly a non-overlapping patch extraction followed
+    by a (p*p*C, f) matmul. Writing it that way lets XLA fuse the patch
+    reshape/transpose into the preceding elementwise ops instead of
+    emitting a separate input-layout copy before a convolution (the top
+    op in the 640px serving profile, ~0.6 ms/iter at b32). The param
+    keeps the conv kernel shape (p, p, C, f) — checkpoints are
+    interchangeable with the nn.Conv path; (kh, kw, in) row-major
+    flattening matches the (p, p, C) patch flattening below.
+    """
+
+    patch: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        p, f = self.patch, self.features
+        B, H, W, C = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, C, f))
+        x = x.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, H // p, W // p, p * p * C)
+        # no explicit cast: dtype promotion matches the nn.Conv path
+        # (bf16 serving casts the kernel to bf16 with every other param)
+        return x @ kernel.reshape(p * p * C, f)
+
+
 class PatchifyStem(nn.Module):
-    """k/s patchify stem — MXU/lane-friendly single conv."""
+    """k/s patchify stem — MXU/lane-friendly single conv (or the
+    equivalent space-to-depth matmul, ``cfg.stem_s2d``)."""
 
     cfg: HGNetConfig
     patch: int = 4
@@ -198,8 +233,11 @@ class PatchifyStem(nn.Module):
     def __call__(self, x, train: bool = False):
         f = self.features or self.cfg.stem_channels[2]
         p = self.patch
-        x = nn.Conv(f, (p, p), strides=(p, p),
-                    use_bias=False, name="proj")(x)
+        if self.cfg.stem_s2d:
+            x = _S2DProj(patch=p, features=f, name="proj")(x)
+        else:
+            x = nn.Conv(f, (p, p), strides=(p, p),
+                        use_bias=False, name="proj")(x)
         x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
         return nn.relu(x)
 

@@ -86,6 +86,33 @@ def test_hgnet_patchify8_shapes():
     assert feats[1].shape == (2, 4, 4, cfg.stage_out_channels[3])
 
 
+def test_patchify_s2d_matches_conv():
+    """The space-to-depth patchify stem is bit-identical to the k/s conv
+    with the SAME params (kernel shape is shared, so checkpoints are
+    interchangeable between the two lowering strategies)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pautdx.models.vision.hgnet import HGNetConfig, HGNetV2
+
+    cfg = HGNetConfig(stem="patchify8", start_stage=2, out_indices=(2, 3))
+    m_conv = HGNetV2(cfg)
+    m_s2d = HGNetV2(dataclasses.replace(cfg, stem_s2d=True))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    v = m_conv.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # same param tree (shapes included) ...
+    jax.tree_util.tree_map(
+        lambda a, b: None,
+        v, m_s2d.init({"params": jax.random.PRNGKey(1)}, x, train=False))
+    # ... and identical outputs from identical params
+    for a, b in zip(m_conv.apply(v, x, train=False),
+                    m_s2d.apply(v, x, train=False)):
+        assert jnp.abs(a - b).max() == 0.0
+
+
 def test_dfine_nano_stride8_forward():
     import jax
     import jax.numpy as jnp

@@ -481,6 +481,13 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
     # reference lrs: v1 temporal-only 1e-4-ish; v3 3-group
     # (`temp_dfine_over_improved.py:389-410`) trunk 1e-5 / temporal 5e-4 /
     # classifier 1e-4
+    def sched(peak):
+        # warmup + cosine: constant 2e-4 on the tiny-init (std 1e-3)
+        # temporal kernels blew the loss up within 10 steps on the quick
+        # run (27 -> 2671) — relative update size was huge at step 0
+        return optax.warmup_cosine_decay_schedule(
+            0.0, peak, max(5, steps // 10), steps, peak / 50)
+
     if variant == "v3":
         def group(path, _):
             keys = [getattr(p, "key", str(p)) for p in path]
@@ -500,9 +507,9 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
 
         labels = jax.tree_util.tree_map_with_path(group, params)
         tx = {"frozen": optax.set_to_zero(),
-              "trunk": optax.adamw(1e-5, weight_decay=0.01),
-              "temporal": optax.adamw(5e-4, weight_decay=0.01),
-              "classifier": optax.adamw(1e-4, weight_decay=0.01)}
+              "trunk": optax.adamw(sched(1e-5), weight_decay=0.01),
+              "temporal": optax.adamw(sched(5e-4), weight_decay=0.01),
+              "classifier": optax.adamw(sched(1e-4), weight_decay=0.01)}
         opt = optax.chain(optax.clip_by_global_norm(1.0),
                           optax.multi_transform(tx, labels))
     else:
@@ -511,7 +518,7 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
         opt = optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.multi_transform(
-                {True: optax.adamw(2e-4, weight_decay=0.01),
+                {True: optax.adamw(sched(2e-4), weight_decay=0.01),
                  False: optax.set_to_zero()}, mask))
     opt_state = opt.init(params)
 
@@ -689,16 +696,54 @@ def measure_temporal_serving_fps(trunk_cfg, img=640):
     return fps_stream, fps_runner
 
 
+def _ckpt_save(path, tree):
+    import pickle
+    with open(path + ".tmp", "wb") as f:
+        pickle.dump(jax.device_get(tree), f)
+    os.replace(path + ".tmp", path)
+
+
+def _ckpt_load(path):
+    import pickle
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def run_temporal(args, results):
-    """Temporal D-FINE quality + serving fps (VERDICT r2 item 1)."""
+    """Temporal D-FINE quality + serving fps (VERDICT r2 item 1).
+
+    Stage-checkpointed: the trained trunk, each per-stage metric, and the
+    partial results dict persist under --ckpt-dir, so a relay wedge / OOM
+    mid-run resumes from the last finished stage instead of retraining
+    (the first full run died in eval after 2000 trunk steps).
+    """
     global IMG, SEQ_LEN
     img_saved, seq_saved = IMG, SEQ_LEN
+    ck = args.ckpt_dir
+    os.makedirs(ck, exist_ok=True)
+    state_path = os.path.join(ck, "temporal_state.json")
+    state = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+        print(f"  [resume] loaded stage state: {sorted(state)}", flush=True)
+
+    def save_state():
+        with open(state_path + ".tmp", "w") as f:
+            json.dump(state, f)
+        os.replace(state_path + ".tmp", state_path)
     # v3 trains the trunk decoder over 50-frame backwards: 320px keeps
     # that honest AND affordable; the delta vs single-frame is the
     # quantity of interest
     IMG = 96 if args.quick else 320
     SEQ_LEN = 8 if args.quick else 50
     n_scans = 10 if args.quick else 60
+    # stale-state guard: a quick-mode state must not seed a full run
+    if state and (state.get("_img") != IMG or state.get("_seq") != SEQ_LEN):
+        print("  [resume] stage state is for a different config; resetting",
+              flush=True)
+        state = {}
+    state["_img"], state["_seq"] = IMG, SEQ_LEN
     from pautdx.models.vision.dfine import dfine_nano
 
     trunk_cfg = dfine_nano(num_labels=NUM_LABELS)
@@ -726,14 +771,33 @@ def run_temporal(args, results):
     flat_mask = np.concatenate([c.mask for c in train_chunks])
     trunk_data = (flat_images, flat_boxes, flat_classes, flat_mask)
 
-    print("  -- trunk (single-frame) --", flush=True)
-    trunk_model, trunk_vars = train(trunk_cfg, trunk_data, t_steps,
-                                    args.batch)
+    from pautdx.models.vision.dfine import DFine
 
-    tr_d = tuple(jax.device_put(jnp.asarray(a)) for a in tr)
-    va_d = tuple(jax.device_put(jnp.asarray(a)) for a in va)
+    trunk_path = os.path.join(ck, "trunk_vars.pkl")
+    trunk_model = DFine(trunk_cfg)
+    if os.path.exists(trunk_path):
+        print("  -- trunk: restoring from checkpoint --", flush=True)
+        trunk_vars = _ckpt_load(trunk_path)
+    else:
+        print("  -- trunk (single-frame) --", flush=True)
+        trunk_model, trunk_vars = train(trunk_cfg, trunk_data, t_steps,
+                                        args.batch)
+        _ckpt_save(trunk_path, trunk_vars)
 
-    m_trunk = eval_trunk_on_chunks(trunk_model, trunk_vars, va_d, val_chunks)
+    # images ship/store as bf16 (index 0): halves the multi-GB relay
+    # upload and HBM residency; the model computes in bf16 regardless
+    tr_d = tuple(jax.device_put(jnp.asarray(
+        a, jnp.bfloat16 if i == 0 else None)) for i, a in enumerate(tr))
+    va_d = tuple(jax.device_put(jnp.asarray(
+        a, jnp.bfloat16 if i == 0 else None)) for i, a in enumerate(va))
+
+    if "single_frame_map50" in state:
+        m_trunk = state["single_frame_map50"]
+    else:
+        m_trunk = eval_trunk_on_chunks(trunk_model, trunk_vars, va_d,
+                                       val_chunks)
+        state["single_frame_map50"] = m_trunk
+        save_state()
     print(f"    trunk single-frame mAP@0.5 = {m_trunk:.4f}", flush=True)
 
     out = {"img_size": IMG, "seq_len": SEQ_LEN,
@@ -741,9 +805,14 @@ def run_temporal(args, results):
            "temporal_steps": seq_steps,
            "single_frame_map50": m_trunk}
     for variant in ("v1", "v3"):
-        tm, tv = train_temporal(variant, trunk_cfg, trunk_vars, tr_d,
-                                len(train_chunks), seq_steps)
-        m = eval_temporal(tm, tv, va_d, val_chunks)
+        if f"{variant}_map50" in state:
+            m = state[f"{variant}_map50"]
+        else:
+            tm, tv = train_temporal(variant, trunk_cfg, trunk_vars, tr_d,
+                                    len(train_chunks), seq_steps)
+            m = eval_temporal(tm, tv, va_d, val_chunks)
+            state[f"{variant}_map50"] = m
+            save_state()
         out[f"{variant}_map50"] = m
         out[f"{variant}_delta_vs_single"] = m - m_trunk
         print(f"    {variant} mAP@0.5 = {m:.4f} "
@@ -751,7 +820,14 @@ def run_temporal(args, results):
     del tr_d, va_d
 
     if not args.quick:
-        fps_stream, fps_runner = measure_temporal_serving_fps(trunk_cfg)
+        if "serving_fps_640_stream" in state:
+            fps_stream = state["serving_fps_640_stream"]
+            fps_runner = state["serving_fps_640_chunked_runner"]
+        else:
+            fps_stream, fps_runner = measure_temporal_serving_fps(trunk_cfg)
+            state["serving_fps_640_stream"] = round(fps_stream, 2)
+            state["serving_fps_640_chunked_runner"] = round(fps_runner, 2)
+            save_state()
         out["serving_fps_640_stream"] = round(fps_stream, 2)
         out["serving_fps_640_chunked_runner"] = round(fps_runner, 2)
         print(f"    serving fps (640px, seq50): stream {fps_stream:.0f}, "
@@ -772,6 +848,9 @@ def main():
                     default=None,
                     help="run a single config (e.g. after a relay wedge "
                          "killed a full run; merge results by hand)")
+    ap.add_argument("--ckpt-dir", default="/tmp/ba_temporal_ckpt",
+                    help="stage-checkpoint dir for the temporal run "
+                         "(delete it to force a fresh run)")
     args = ap.parse_args()
 
     try:

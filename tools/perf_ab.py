@@ -1,0 +1,81 @@
+"""A/B serving-fps probe for nano preset levers (bench.py workload).
+
+Variants: exact-erf vs tanh gelu in the AIFI FFN (erf lowers as an f32
+custom call, upcasting the FFN), and conv vs space-to-depth patchify
+stem (the conv's input-layout copy was the top op in the 640px profile).
+Timing = device-side streaming scan + chained carry fetch, same as
+bench.py.
+
+Usage: python tools/perf_ab.py [batch] [img]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(cfg, img, batch, n_steps=8):
+    from pautdx.models.vision.dfine import DFine
+    from pautdx.serve.throughput import make_streaming_forward, measure_fps
+
+    model = DFine(cfg)
+    variables = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
+        train=False))(jax.random.PRNGKey(0))
+    variables = jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, t))(variables)
+
+    def apply_fn(images):
+        out = model.apply(variables, images, train=False)
+        return out["logits"], out["pred_boxes"]
+
+    stream = make_streaming_forward(apply_fn)
+    slab = jax.jit(lambda k: jax.random.randint(
+        k, (n_steps, batch, img, img, 3), 0, 256,
+        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
+    jax.block_until_ready(slab)
+    return measure_fps(stream, slab, n_calls=3)
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/pautdx_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from pautdx.models.vision.dfine import dfine_nano
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    img = int(sys.argv[2]) if len(sys.argv) > 2 else 640
+
+    base = dataclasses.replace(dfine_nano(num_labels=2),
+                               decoder_method="discrete",
+                               encoder_act_approx=False)
+    variants = {
+        "base_erf_conv": base,
+        "tanh_gelu": dataclasses.replace(base, encoder_act_approx=True),
+        "s2d_stem": dataclasses.replace(
+            base, backbone=dataclasses.replace(base.backbone, stem_s2d=True)),
+        "tanh+s2d": dataclasses.replace(
+            base, encoder_act_approx=True,
+            backbone=dataclasses.replace(base.backbone, stem_s2d=True)),
+    }
+    out = {}
+    for name, cfg in variants.items():
+        fps = measure(cfg, img, batch)
+        out[name] = round(fps, 1)
+        print(f"{name}: {fps:.1f} fps", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
