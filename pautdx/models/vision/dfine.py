@@ -139,6 +139,10 @@ def dfine_nano(num_labels: int = 2, tpu_stem: bool = True,
         backbone=HGNetConfig(
             stem=("patchify8" if stride8_stem
                   else "patchify" if tpu_stem else "hgnet"),
+            # space-to-depth lowering of the patch conv: measured +3.2%
+            # serving fps at 640px b64 (kills the conv input relayout);
+            # params are interchangeable with the conv lowering
+            stem_s2d=tpu_stem or stride8_stem,
             start_stage=2 if stride8_stem else 0,
             out_indices=tuple(range(4 - levels, 4))),
     )
