@@ -875,10 +875,25 @@ def main():
         results = prev
     cfgs = configs()
 
+    def cached_dataset(tag, seeds, rng_seed):
+        # deterministic given (seeds, IMG, rng_seed) — cache to disk so a
+        # rerun (e.g. after a relay wedge) skips the ~45 min single-core
+        # volume synthesis
+        path = f"/tmp/ba_ds_{tag}_{IMG}_{rng_seed}.npz"
+        if os.path.exists(path):
+            z = np.load(path)
+            return tuple(z[k] for k in ("images", "boxes", "classes",
+                                        "mask"))
+        data = make_dataset(seeds, rng_seed=rng_seed)
+        np.savez(path + ".tmp.npz", images=data[0], boxes=data[1],
+                 classes=data[2], mask=data[3])
+        os.replace(path + ".tmp.npz", path)
+        return data
+
     if args.only in (None, "parity_small", "nano"):
         print("dataset: synthesizing volumes ...", flush=True)
-        train_data = make_dataset(range(100, 125), rng_seed=1)
-        val_data = make_dataset(range(500, 504), rng_seed=2)
+        train_data = cached_dataset("train", range(100, 125), 1)
+        val_data = cached_dataset("val", range(500, 504), 2)
         print(f"  train frames {train_data[0].shape}, "
               f"val {val_data[0].shape}", flush=True)
         results["val_frames"] = int(val_data[0].shape[0])
