@@ -31,7 +31,10 @@ def main():
         pass
 
     from pautdx.models.vision.dfine import DFine, dfine_nano
-    from pautdx.serve.throughput import make_streaming_forward, measure_fps
+    from pautdx.serve.throughput import (
+        cast_params_bf16, make_streaming_forward, make_uint8_slab,
+        measure_fps,
+    )
 
     import dataclasses
 
@@ -48,10 +51,7 @@ def main():
     init_fn = jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
         train=False))
-    variables = init_fn(jax.random.PRNGKey(0))
-    variables = jax.jit(lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, t))(variables)
+    variables = cast_params_bf16(init_fn(jax.random.PRNGKey(0)))
 
     def apply_fn(images):
         out = model.apply(variables, images, train=False)
@@ -62,13 +62,7 @@ def main():
     # reference's PNG pipeline); dequantized to bf16 on device. Quality
     # at this exact serving mode is measured by tools/bench_accuracy.py
     # (jax_map50_serving_uint8_input).
-    # slab generated ON DEVICE: host-side rng for 630MB takes minutes on
-    # this box (measured 150-370s); the TPU does it in milliseconds and
-    # the timing is data-independent anyway
-    slab = jax.jit(lambda k: jax.random.randint(
-        k, (n_steps, batch, img, img, 3), 0, 256,
-        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
-    jax.block_until_ready(slab)
+    slab = make_uint8_slab((n_steps, batch, img, img, 3))
     fps = measure_fps(stream, slab, n_calls=3)
 
     print(json.dumps({

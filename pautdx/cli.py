@@ -263,6 +263,10 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
     if checkpoint:
         from pautdx.train import CheckpointManager
         state, meta = CheckpointManager(checkpoint).restore("latest")
+        if meta.get("size") and int(meta["size"]) != int(size):
+            print(f"warning: checkpoint was trained at --size {meta['size']} "
+                  f"but inference runs at --size {size}; detections may "
+                  f"degrade from the resolution mismatch")
 
     if detector == "yolo":
         from pautdx.models.vision import YOLO, YoloConfig, decode_boxes
@@ -277,10 +281,19 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
             DFine, config_from_dict, dfine_nano,
         )
 
-        cfg = (config_from_dict(meta["dfine_config"])
-               if meta.get("dfine_config")
-               else dfine_nano(num_labels=meta.get("num_classes",
-                                                   num_classes)))
+        if meta.get("dfine_config"):
+            cfg = config_from_dict(meta["dfine_config"])
+        else:
+            # legacy checkpoint without a persisted config: pin the
+            # numerics the old preset trained with (exact-erf AIFI gelu;
+            # today's dfine_nano default is tanh) so restored detections
+            # match training. The s2d stem lowering is bit-identical and
+            # param-compatible, so it needs no pin.
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                dfine_nano(num_labels=meta.get("num_classes", num_classes)),
+                encoder_act_approx=False)
         model = DFine(cfg)
     if state is not None:
         variables = {"params": state["params"],
@@ -567,7 +580,12 @@ def _cmd_train_temporal(args) -> None:
               "trunk": optax.adam(args.lr),
               "temporal": optax.adam(args.lr),
               "classifier": optax.adam(args.lr)}
-    opt = optax.chain(optax.clip_by_global_norm(1.0),
+    from pautdx.train.optim import zero_frozen_grads
+
+    # frozen grads zero BEFORE the clip (they would inflate the global
+    # norm and over-shrink the trainable updates)
+    opt = optax.chain(zero_frozen_grads(labels),
+                      optax.clip_by_global_norm(1.0),
                       optax.multi_transform(tx, labels))
     opt_state = opt.init(params)
 

@@ -123,10 +123,19 @@ def parse_txt_tree(root: str, file_folder: str,
     infos: Dict[str, List[ScanInfo]] = {}
     for beam in beams:
         beam_dir = os.path.join(base, beam)
-        # .txt only — the native walker collects only *.txt, so the Python
-        # listing must match or a stray file would KeyError the tree lookup
-        files = sorted((f for f in os.listdir(beam_dir) if f.endswith(".txt")),
-                       key=lambda f: int(f.split("_")[0]))
+        # .txt with an integer scan-index prefix only — the native walker
+        # collects *.txt, so the Python listing must be at least as strict
+        # or a stray file would KeyError the tree lookup / crash the
+        # int() sort key (e.g. a dropped-in notes.txt)
+        def _scan_idx(f):
+            try:
+                return int(f.split("_")[0])
+            except ValueError:
+                return None
+
+        files = sorted((f for f in os.listdir(beam_dir)
+                        if f.endswith(".txt") and _scan_idx(f) is not None),
+                       key=_scan_idx)
         rows, row_infos = [], []
         for fn in files:
             row = tree.get(f"{beam}/{fn}") if tree is not None else None

@@ -105,8 +105,10 @@ class TemporalDFine(nn.Module):
         else:
             # heads run on the encoder output directly (temporal_dfine.py:
             # 167-172 — `fused = temporal_encoder(feats)` then heads(fused);
-            # the tiny init makes this ≈ identity at step 0, so the copied
-            # trunk heads start from trunk-quality predictions)
+            # with tiny init the post-norm stack reduces to ≈ LayerNorm of
+            # the trunk hidden state at step 0 — NOT identity; the same
+            # renormalization the reference's post-norm torch
+            # TransformerEncoder applies under its tiny init)
             feats = jnp.swapaxes(fused_qt, 0, 1)
 
         scores = nn.Dense(self.head_labels, name="class_head")(feats)
@@ -185,8 +187,11 @@ def init_heads_from_trunk(variables: Dict, variant: str = "v1") -> Dict:
     ``self.class_head = dfine.class_embed[-1]; self.bbox_head =
     dfine.bbox_embed[-1]``, `temporal_dfine.py:152-154`) and tiny-init
     the temporal encoder (normal std 1e-3 kernels, zero biases,
-    LayerNorms untouched — :143-150), so at step 0 the post-norm stack
-    is ≈ identity and the model starts from trunk-quality predictions.
+    LayerNorms untouched — :143-150). At step 0 the post-norm stack then
+    reduces to ≈ LayerNorm(hidden) — per-token renormalized trunk
+    features, not the identity (torch's post-norm TransformerEncoder
+    behaves the same under the reference's tiny init); the copied heads
+    start near, not at, trunk-quality predictions.
 
     v1 copies both heads; v2/v3 copy only the bbox head when the class
     head widths differ (the reference's ``ignore_mismatched_sizes=True``

@@ -20,10 +20,11 @@ import numpy as np
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     i = bisect.bisect_left(buckets, n)
     if i == len(buckets):
-        # overflow: auto-extend with the next power-of-two bucket — the
-        # ONNX dynamic-axes contract this replaces accepts any size, so a
-        # larger-than-configured request compiles one more bucket instead
-        # of failing
+        # overflow: auto-extend by doubling the largest configured
+        # bucket until it fits (a power of two only if the largest bucket
+        # is one) — the ONNX dynamic-axes contract this replaces accepts
+        # any size, so a larger-than-configured request compiles one more
+        # bucket instead of failing
         b = buckets[-1]
         while b < n:
             b *= 2

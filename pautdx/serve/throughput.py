@@ -41,6 +41,29 @@ def make_streaming_forward(apply_fn: Callable) -> Callable:
     return jax.jit(stream)
 
 
+def make_uint8_slab(shape: Tuple[int, ...], seed: int = 0) -> jnp.ndarray:
+    """Random uint8 bench slab generated ON DEVICE.
+
+    Host-side rng for multi-hundred-MB slabs takes minutes on weak hosts
+    (and the upload pays relay bandwidth); `jax.random` does it in
+    milliseconds and the timing is data-independent anyway. uint8 is the
+    production wire format (frames ship as 8-bit images).
+    """
+    slab = jax.jit(lambda k: jax.random.randint(
+        k, shape, 0, 256, dtype=jnp.int32).astype(jnp.uint8))(
+        jax.random.PRNGKey(seed))
+    jax.block_until_ready(slab)
+    return slab
+
+
+def cast_params_bf16(variables):
+    """Cast every f32 leaf of a variables tree to bf16, on device
+    (the serving weight format; non-f32 leaves pass through)."""
+    return jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, t))(variables)
+
+
 def measure_fps(stream_fn: Callable, slab: jnp.ndarray,
                 n_calls: int = 3) -> float:
     """Chained + host-fetched throughput measurement."""

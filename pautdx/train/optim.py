@@ -79,6 +79,33 @@ def make_optimizer(learning_rate: float = 6e-4,
     return optax.chain(optax.clip_by_global_norm(clip_norm), opt)
 
 
+def zero_frozen_grads(trainable) -> optax.GradientTransformation:
+    """Zero frozen-leaf gradients BEFORE global-norm clipping.
+
+    ``chain(clip_by_global_norm, multi_transform({...: set_to_zero}))``
+    lets frozen-leaf gradients inflate the global norm and over-shrink
+    the surviving updates (for the temporal v1 variant the frozen
+    class/bbox-head grads can dominate the denominator). Zeroing first
+    reproduces torch's ``requires_grad=False`` semantics, where frozen
+    params never contribute to the clip norm.
+
+    ``trainable``: a pytree matching the params, with bool leaves
+    (True = trains) or string labels (``"frozen"`` = frozen).
+    """
+    def keep(m):
+        return m is True or (isinstance(m, str) and m != "frozen")
+
+    def update_fn(updates, state, params=None):
+        del params
+        z = jax.tree_util.tree_map(
+            lambda g, m: g if keep(m) else jnp.zeros_like(g),
+            updates, trainable)
+        return z, state
+
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(), update_fn)
+
+
 def cosine_schedule(base_lr: float, total_steps: int,
                     warmup_steps: int = 0, final_scale: float = 0.01
                     ) -> Callable[[int], float]:

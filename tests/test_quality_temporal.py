@@ -140,8 +140,11 @@ def test_temporal_v1_quality_gate(flicker_chunks):
                                        "batch_stats": bstats}, "v1")
     params, bstats = variables["params"], variables["batch_stats"]
 
+    from pautdx.train.optim import zero_frozen_grads
+
     mask = trainable_mask("v1", params)
     opt = optax.chain(
+        zero_frozen_grads(mask),        # frozen grads out of the clip norm
         optax.clip_by_global_norm(1.0),
         optax.multi_transform({True: optax.adamw(1e-4, weight_decay=0.01),
                                False: optax.set_to_zero()}, mask))

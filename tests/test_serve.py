@@ -109,12 +109,12 @@ def test_detector_endpoint_uint8_frames():
 def test_signal_endpoint_overflow_buckets():
     """Any (B, N) must be accepted — the ONNX dynamic-axes contract.
 
-    N past the largest bucket auto-compiles a power-of-two overflow bucket;
+    N past the largest bucket auto-compiles a doubled overflow bucket;
     B past the largest bucket is served by chunking (VERDICT r2 weak #7).
     """
     ep = _endpoint()
     rng = np.random.default_rng(2)
-    # N overflow: largest signal bucket is 50 -> served via a 64-bucket
+    # N overflow: largest signal bucket is 50 -> doubled to a 100-bucket
     sig = rng.normal(size=(2, 60, 64)).astype(np.float32)
     out = ep.predict(sig)
     assert out["prob"].shape == (2, 60)

@@ -189,3 +189,26 @@ def test_dense_to_detections_pipeline():
     det = dense_to_detections(d, score_threshold=0.0, top_k=16, max_det=8)
     assert det["boxes"].shape == (2, 8, 4)
     assert det["valid"].shape == (2, 8)
+
+
+def test_width_matches_ultralytics_yaml_tables():
+    """Channel widths per scale/flavour pin the Ultralytics
+    ``make_divisible(min(c, max_channels) * width, 8)`` semantics —
+    notably the m-scale max_channels clamp (v8m head width is 576, NOT
+    1024 * 0.75 = 768; yolo11m clamps at 512). A silent formula change
+    breaks restore of every checkpoint trained at that scale."""
+    expected = {
+        # (flavour, scale, requested) -> actual channels
+        ("v8", "n", 1024): 256,
+        ("v8", "s", 1024): 512,
+        ("v8", "m", 1024): 576,     # min(1024, 768) * 0.75
+        ("v5u", "m", 1024): 576,
+        ("v11", "n", 1024): 256,
+        ("v11", "s", 1024): 512,
+        ("v11", "m", 1024): 512,    # min(1024, 512) * 1.0
+        ("v8", "n", 256): 64,
+        ("v11", "m", 256): 256,
+    }
+    for (flavour, scale, w), want in expected.items():
+        got = YoloConfig(num_classes=1, scale=scale, flavour=flavour).width(w)
+        assert got == want, (flavour, scale, w, got, want)

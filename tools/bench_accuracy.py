@@ -488,6 +488,11 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
         return optax.warmup_cosine_decay_schedule(
             0.0, peak, max(5, steps // 10), steps, peak / 50)
 
+    from pautdx.train.optim import zero_frozen_grads
+
+    # frozen grads zero BEFORE the clip: otherwise they inflate the
+    # global norm and over-shrink the trainable updates (torch's
+    # requires_grad=False excludes them from the norm entirely)
     if variant == "v3":
         def group(path, _):
             keys = [getattr(p, "key", str(p)) for p in path]
@@ -510,12 +515,14 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
               "trunk": optax.adamw(sched(1e-5), weight_decay=0.01),
               "temporal": optax.adamw(sched(5e-4), weight_decay=0.01),
               "classifier": optax.adamw(sched(1e-4), weight_decay=0.01)}
-        opt = optax.chain(optax.clip_by_global_norm(1.0),
+        opt = optax.chain(zero_frozen_grads(labels),
+                          optax.clip_by_global_norm(1.0),
                           optax.multi_transform(tx, labels))
     else:
         # NOT optax.masked: masked leaves pass raw grads through as
         # updates (ascent on the frozen heads) — zero them explicitly
         opt = optax.chain(
+            zero_frozen_grads(mask),
             optax.clip_by_global_norm(1.0),
             optax.multi_transform(
                 {True: optax.adamw(sched(2e-4), weight_decay=0.01),
@@ -645,28 +652,24 @@ def measure_temporal_serving_fps(trunk_cfg, img=640):
     from pautdx.models.vision.dfine import post_process
     from pautdx.models.vision.temporal_dfine import TemporalDFine
     from pautdx.serve.endpoints import chunked_sequence_runner
-    from pautdx.serve.throughput import make_streaming_forward, measure_fps
+    from pautdx.serve.throughput import (
+        cast_params_bf16, make_streaming_forward, make_uint8_slab,
+        measure_fps,
+    )
 
     serving = dataclasses.replace(trunk_cfg, decoder_method="discrete")
     model = TemporalDFine(serving, variant="v3",
                           num_temporal_labels=NUM_LABELS + 1)
-    variables = jax.jit(lambda k: model.init(
+    variables = cast_params_bf16(jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((SEQ_LEN, img, img, 3), jnp.bfloat16),
-        train=False))(jax.random.PRNGKey(0))
-    variables = jax.jit(lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, t))(variables)
+        train=False))(jax.random.PRNGKey(0)))
 
     def apply_fn(frames):
         out = model.apply(variables, frames, train=False)
         return out["logits"], out["pred_boxes"]
 
     stream = make_streaming_forward(apply_fn)
-    # on-device slab generation (host rng takes minutes for GB slabs here)
-    slab = jax.jit(lambda k: jax.random.randint(
-        k, (4, SEQ_LEN, img, img, 3), 0, 256,
-        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
-    jax.block_until_ready(slab)
+    slab = make_uint8_slab((4, SEQ_LEN, img, img, 3))
     fps_stream = measure_fps(stream, slab, n_calls=3)
 
     # end-to-end chunked runner (host loop, per-chunk dispatch)
@@ -686,9 +689,8 @@ def measure_temporal_serving_fps(trunk_cfg, img=640):
         return [{"boxes": pp["boxes"][t][pp["valid"][t]]}
                 for t in range(frames.shape[0])]
 
-    frames = np.asarray(jax.jit(lambda k: jax.random.randint(
-        k, (3 * SEQ_LEN, img, img, 3), 0, 256,
-        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(1)))
+    frames = np.asarray(make_uint8_slab((3 * SEQ_LEN, img, img, 3),
+                                        seed=1))
     chunked_sequence_runner(predict_fn, frames, seq_len=SEQ_LEN)  # warm up
     t0 = time.perf_counter()
     chunked_sequence_runner(predict_fn, frames, seq_len=SEQ_LEN)

@@ -22,25 +22,22 @@ import jax.numpy as jnp
 
 def measure(cfg, img, batch, n_steps=8):
     from pautdx.models.vision.dfine import DFine
-    from pautdx.serve.throughput import make_streaming_forward, measure_fps
+    from pautdx.serve.throughput import (
+        cast_params_bf16, make_streaming_forward, make_uint8_slab,
+        measure_fps,
+    )
 
     model = DFine(cfg)
-    variables = jax.jit(lambda k: model.init(
+    variables = cast_params_bf16(jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
-        train=False))(jax.random.PRNGKey(0))
-    variables = jax.jit(lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, t))(variables)
+        train=False))(jax.random.PRNGKey(0)))
 
     def apply_fn(images):
         out = model.apply(variables, images, train=False)
         return out["logits"], out["pred_boxes"]
 
     stream = make_streaming_forward(apply_fn)
-    slab = jax.jit(lambda k: jax.random.randint(
-        k, (n_steps, batch, img, img, 3), 0, 256,
-        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
-    jax.block_until_ready(slab)
+    slab = make_uint8_slab((n_steps, batch, img, img, 3))
     return measure_fps(stream, slab, n_calls=3)
 
 

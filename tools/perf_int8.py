@@ -51,15 +51,11 @@ def main():
     variables = jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, args.img, args.img, 3), jnp.bfloat16),
         train=False))(jax.random.PRNGKey(0))
-    variables = jax.jit(lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, t))(variables)
+    from pautdx.serve.throughput import cast_params_bf16, make_uint8_slab
 
-    # on-device slab generation (host rng takes minutes for 630MB here)
-    slab = jax.jit(lambda k: jax.random.randint(
-        k, (args.steps, args.batch, args.img, args.img, 3), 0, 256,
-        dtype=jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(0))
-    jax.block_until_ready(slab)
+    variables = cast_params_bf16(variables)
+    slab = make_uint8_slab(
+        (args.steps, args.batch, args.img, args.img, 3))
 
     out = {"img": args.img, "batch": args.batch}
     print(f"slab ready {slab.shape}", flush=True)
