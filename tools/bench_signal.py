@@ -31,15 +31,32 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_volumes(out_dir, n_vols, seed0, rng_seed):
+TIERS = {
+    # echo SNR >= ~4: a converged model should saturate (and does — the
+    # reference tier exists to be compared against Complex_metrics.txt)
+    "reference": {"noise": (0.05, 0.09), "amp": (0.35, 1.1)},
+    # echo comparable to the noise floor: scores should land between
+    # saturation and chance — the informative middle of the sweep.
+    # (First attempt noise .08-.13 / amp .16-.6 collapsed to chance:
+    # per-signal BCE training has a sharp SNR cliff, see PROGRESS.md.)
+    "medium": {"noise": (0.06, 0.10), "amp": (0.24, 0.8)},
+    # echo can sit BELOW the noise floor (amp 0.10 vs noise up to 0.18):
+    # scores must degrade gracefully, not saturate — evidence the task
+    # isn't trivially separable by construction
+    "hard": {"noise": (0.10, 0.18), "amp": (0.10, 0.45)},
+}
+
+
+def make_volumes(out_dir, n_vols, seed0, rng_seed, tier="reference"):
     """Volumes with enough defects for a ~20% positive signal ratio."""
     from pautdx.data import synthetic
 
+    knobs = TIERS[tier]
     rng = np.random.default_rng(rng_seed)
     for i in range(n_vols):
         spec = synthetic.VolumeSpec(
             n_beams=8, n_scans=120, n_samples=320,
-            noise=float(rng.uniform(0.05, 0.09)), seed=seed0 + i)
+            noise=float(rng.uniform(*knobs["noise"])), seed=seed0 + i)
         vrng = np.random.default_rng(spec.seed)
         defects = []
         for _ in range(int(rng.integers(7, 11))):
@@ -51,7 +68,7 @@ def make_volumes(out_dir, n_vols, seed0, rng_seed):
             d1 = min(0.88, d0 + float(vrng.uniform(0.04, 0.16)))
             defects.append(synthetic.SyntheticDefect(
                 b0, b1, s0, s1, d0, d1,
-                amplitude=float(vrng.uniform(0.35, 1.1))))
+                amplitude=float(vrng.uniform(*knobs["amp"]))))
         synthetic.write_json_volume(
             os.path.join(out_dir, f"v{i}.json"), spec, defects)
 
@@ -123,6 +140,11 @@ def main():
     ap.add_argument("--train-vols", type=int, default=30)
     ap.add_argument("--test-vols", type=int, default=8)
     ap.add_argument("--out", default="SIGNAL_BASELINE.json")
+    ap.add_argument("--tier", choices=sorted(TIERS), default="reference",
+                    help="'hard' puts echo amplitudes below the noise "
+                         "floor; scores should degrade, not saturate. "
+                         "Merges into --out under a 'hard' key.")
+    ap.add_argument("--models", default="complex,hybrid_binary")
     args = ap.parse_args()
 
     from pautdx.data.datasets import load_json_dir
@@ -131,9 +153,11 @@ def main():
 
     with tempfile.TemporaryDirectory() as tr_dir, \
             tempfile.TemporaryDirectory() as te_dir:
-        print("generating volumes ...", flush=True)
-        make_volumes(tr_dir, args.train_vols, seed0=1000, rng_seed=11)
-        make_volumes(te_dir, args.test_vols, seed0=9000, rng_seed=12)
+        print(f"generating volumes ({args.tier} tier) ...", flush=True)
+        make_volumes(tr_dir, args.train_vols, seed0=1000, rng_seed=11,
+                     tier=args.tier)
+        make_volumes(te_dir, args.test_vols, seed0=9000, rng_seed=12,
+                     tier=args.tier)
         train_ds = load_json_dir(tr_dir, seq_len=50)
         test_ds = load_json_dir(te_dir, seq_len=50)
 
@@ -145,6 +169,7 @@ def main():
 
     results = {
         "test_signals": n_signals, "test_positives": n_pos,
+        "tier_knobs": TIERS[args.tier],
         "reference": {
             "model": "ComplexDetectionModel",
             "source": "signals/improved_multisignal/test_results_Complex_"
@@ -155,15 +180,18 @@ def main():
         },
     }
 
-    train_and_eval(
-        "complex",
-        ComplexDetectionModel(norm="group"),
-        train_ds, test_ds, args.epochs, args.batch, 6e-4, results)
-    train_and_eval(
-        "hybrid_binary",
-        HybridBinaryModel(norm="group"),
-        train_ds, test_ds, args.epochs, args.batch, 6e-4, results)
+    models = {"complex": lambda: ComplexDetectionModel(norm="group"),
+              "hybrid_binary": lambda: HybridBinaryModel(norm="group")}
+    for name in args.models.split(","):
+        train_and_eval(name, models[name](), train_ds, test_ds,
+                       args.epochs, args.batch, 6e-4, results)
 
+    if args.tier != "reference" and os.path.exists(args.out):
+        # non-reference tiers nest under the tier name in the artifact
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged[args.tier] = results
+        results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
