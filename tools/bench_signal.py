@@ -73,7 +73,8 @@ def make_volumes(out_dir, n_vols, seed0, rng_seed, tier="reference"):
             os.path.join(out_dir, f"v{i}.json"), spec, defects)
 
 
-def train_and_eval(name, model, train_ds, test_ds, epochs, batch, lr, out):
+def train_and_eval(name, model, train_ds, test_ds, epochs, batch, lr, out,
+                   pretrain_ds=None, pretrain_epochs=4):
     """Reference recipe (`train_detection.py:105-106,225-231`):
     defect-focused sampling (every train window has >=1 defect signal,
     healthy windows capped 1:1), AdamW lr 6e-4 / wd 0.015,
@@ -106,6 +107,23 @@ def train_and_eval(name, model, train_ds, test_ds, epochs, batch, lr, out):
 
     def log(msg):
         print(f"  [{name}] {msg} ({time.time() - t0:.0f}s)", flush=True)
+
+    if pretrain_ds is not None:
+        # SNR curriculum: converge on the high-SNR tier first, then
+        # fine-tune down the ladder — per-signal BCE trained cold on
+        # sub-noise-floor echoes pins at the chance floor (see the
+        # 'hard'/'medium' cliff in PROGRESS.md)
+        ptr, pva = train_val_split(defect_focused(pretrain_ds), 0.2,
+                                   seed=42)
+        print(f"  [{name}] curriculum pretrain on {len(ptr)} high-SNR "
+              f"windows", flush=True)
+        state = trainer.fit(
+            state,
+            lambda: BatchIterator(ptr, batch, seed=next(seed_it)),
+            lambda: BatchIterator(pva, batch, seed=0),
+            epochs=pretrain_epochs,
+            plateau=ReduceLROnPlateau(factor=0.7, patience=2),
+            log=log)
 
     state = trainer.fit(
         state,
@@ -145,14 +163,19 @@ def main():
                          "floor; scores should degrade, not saturate. "
                          "Merges into --out under a 'hard' key.")
     ap.add_argument("--models", default="complex,hybrid_binary")
+    ap.add_argument("--curriculum", action="store_true",
+                    help="pretrain on reference-tier volumes before the "
+                         "target tier (SNR curriculum)")
     args = ap.parse_args()
 
     from pautdx.data.datasets import load_json_dir
     from pautdx.models.signal import HybridBinaryModel
     from pautdx.models.signal.detection_zoo import ComplexDetectionModel
 
+    pretrain_ds = None
     with tempfile.TemporaryDirectory() as tr_dir, \
-            tempfile.TemporaryDirectory() as te_dir:
+            tempfile.TemporaryDirectory() as te_dir, \
+            tempfile.TemporaryDirectory() as pre_dir:
         print(f"generating volumes ({args.tier} tier) ...", flush=True)
         make_volumes(tr_dir, args.train_vols, seed0=1000, rng_seed=11,
                      tier=args.tier)
@@ -160,6 +183,10 @@ def main():
                      tier=args.tier)
         train_ds = load_json_dir(tr_dir, seq_len=50)
         test_ds = load_json_dir(te_dir, seq_len=50)
+        if args.curriculum and args.tier != "reference":
+            make_volumes(pre_dir, args.train_vols, seed0=1000, rng_seed=11,
+                         tier="reference")
+            pretrain_ds = load_json_dir(pre_dir, seq_len=50)
 
     labels = np.asarray(test_ds.labels)
     n_signals = int(labels.size)
@@ -182,15 +209,19 @@ def main():
 
     models = {"complex": lambda: ComplexDetectionModel(norm="group"),
               "hybrid_binary": lambda: HybridBinaryModel(norm="group")}
+    if args.curriculum:
+        results["curriculum"] = True
     for name in args.models.split(","):
         train_and_eval(name, models[name](), train_ds, test_ds,
-                       args.epochs, args.batch, 6e-4, results)
+                       args.epochs, args.batch, 6e-4, results,
+                       pretrain_ds=pretrain_ds)
 
     if args.tier != "reference" and os.path.exists(args.out):
         # non-reference tiers nest under the tier name in the artifact
         with open(args.out) as f:
             merged = json.load(f)
-        merged[args.tier] = results
+        key = (f"{args.tier}_curriculum" if args.curriculum else args.tier)
+        merged[key] = results
         results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
