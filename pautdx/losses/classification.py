@@ -60,11 +60,20 @@ def focal_bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                   class_weights: Optional[jnp.ndarray] = None,
                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """CE over the last axis; integer labels."""
+    """CE over the last axis; integer labels.
+
+    With ``class_weights``, normalization is the sum of the selected
+    weights (torch ``nn.CrossEntropyLoss(weight=...)`` mean reduction:
+    ``sum(w[y_i] * loss_i) / sum(w[y_i])``) — dividing by element count
+    instead would scale the loss with per-batch class composition.
+    """
     logz = jnp.log(jnp.sum(jnp.exp(logits - logits.max(-1, keepdims=True)),
                            axis=-1)) + logits.max(-1)
     ll = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
     loss = logz - ll
     if class_weights is not None:
-        loss = loss * class_weights[labels]
+        w = class_weights[labels]
+        if mask is not None:
+            w = w * mask
+        return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), _EPS)
     return _masked_mean(loss, mask)

@@ -112,9 +112,14 @@ def denoising_loss(dn_logits: jnp.ndarray, dn_boxes: jnp.ndarray,
         b_idx, jnp.arange(D)[None, :], src_classes].set(pos)
     logz = jnp.log1p(jnp.exp(-jnp.abs(dn_logits))) + jnp.maximum(-dn_logits, 0)
     bce = t_cls * logz + (1 - t_cls) * (logz + dn_logits)
-    # focal-ish down-weighting of easy negatives
-    prob = jax.nn.sigmoid(dn_logits)
-    weight = 0.75 * prob ** 2.0 * (t_cls <= 0) + t_cls
+    # focal-ish down-weighting of easy negatives; prob DETACHED (the
+    # weight must not push scores down through its own gradient), and
+    # padded-GT slots excluded via the per-slot weight — the module
+    # contract is "padding = zero loss weight", real noised negatives
+    # still train toward background
+    prob = jax.lax.stop_gradient(jax.nn.sigmoid(dn_logits))
+    weight = ((0.75 * prob ** 2.0 * (t_cls <= 0) + t_cls)
+              * dn["weight"][..., None])
     loss_cls = jnp.sum(bce * weight) / num_pos
 
     l1 = jnp.sum(jnp.abs(dn_boxes - src_boxes), -1)

@@ -49,6 +49,18 @@ def box_cxcywh_to_xyxy(b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
 
 
+def iou_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise plain IoU for aligned (..., 4) xyxy boxes."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(a[..., 3] - a[..., 1], 0)
+    area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(b[..., 3] - b[..., 1], 0)
+    union = area_a + area_b - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
 def giou_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Elementwise generalized IoU for aligned (..., 4) xyxy boxes."""
     lt = jnp.maximum(a[..., :2], b[..., :2])
@@ -213,14 +225,19 @@ def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
         xy_p = box_cxcywh_to_xyxy(m_boxes)
         xy_g = box_cxcywh_to_xyxy(gt_boxes)
         giou = giou_xyxy(xy_p, xy_g)
-        iou = jnp.clip(giou, 0.0)                            # (B, M)
+        # VFL quality target: PLAIN IoU (HF uses box_iou — clipped GIoU
+        # understates quality whenever the enclosing-box penalty bites),
+        # DETACHED like HF's `ious.detach()`: the classification target
+        # must not backprop into the box head, and the focal weight's
+        # prob**2 must not add a push-your-own-score-down gradient.
+        iou = jax.lax.stop_gradient(iou_xyxy(xy_p, xy_g))    # (B, M)
 
         # varifocal classification: target q = IoU at matched slots
         t_cls = jnp.zeros((B, Q, C))
         q_val = (iou * gt_mask)
         t_cls = t_cls.at[b_idx, match, jnp.clip(gt_classes, 0)].max(
             jnp.where(gt_mask > 0, q_val, 0.0))
-        prob = jax.nn.sigmoid(logits)
+        prob = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
         weight = 0.75 * prob ** 2.0 * (t_cls <= 0) + t_cls
         logz = jnp.log1p(jnp.exp(-jnp.abs(logits))) + jnp.maximum(-logits, 0)
         bce = t_cls * logz + (1 - t_cls) * (logz + logits)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from pautdx.losses.classification import bce, cross_entropy
 from pautdx.losses.regression import (
     focal_l1, interval_iou_1d, masked_iou_loss, masked_l1, masked_smooth_l1,
-    uncertainty_regularizer,
+    temporal_consistency, uncertainty_regularizer,
 )
 
 Aux = Dict[str, jnp.ndarray]
@@ -92,8 +92,7 @@ def seq_detector_loss(out: Dict[str, jnp.ndarray], class_labels: jnp.ndarray,
     if m is not None:
         defect = defect * m
     pos = masked_l1(out["positions"], positions, defect)
-    anom = out["anomaly"]
-    cons = jnp.mean(jnp.square(anom[:, 1:] - anom[:, :-1]))
+    cons = temporal_consistency(out["anomaly"], axis=1)
     total = ce + pos + anomaly_weight * cons
     return total, {"ce": ce, "position": pos, "anomaly_consistency": cons}
 

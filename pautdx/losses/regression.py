@@ -69,12 +69,11 @@ def focal_l1(pred: jnp.ndarray, target: jnp.ndarray,
     return _apply_mask(loss, m)
 
 
-def temporal_consistency(x: jnp.ndarray,
-                         weight_axis: int = -1) -> jnp.ndarray:
-    """MSE between neighbouring steps along the sequence axis — the anomaly
-    temporal-consistency regularizer (`model.py:351-422`, 0.1 weight)."""
-    d = x[..., 1:] - x[..., :-1]
-    return jnp.mean(jnp.square(d))
+def temporal_consistency(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """MSE between neighbouring steps along the sequence ``axis`` — the
+    anomaly temporal-consistency regularizer (`model.py:351-422`,
+    0.1 weight)."""
+    return jnp.mean(jnp.square(jnp.diff(x, axis=axis)))
 
 
 def uncertainty_regularizer(unc: jnp.ndarray) -> jnp.ndarray:

@@ -151,9 +151,15 @@ def yolo_loss(result: Dict, gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
         [lvl["box"].reshape(lvl["box"].shape[0], -1, 4 * cfg.reg_max)
          for lvl in result["levels"]], axis=1)
 
+    # assignment sees DETACHED predictions (Ultralytics:
+    # pd_scores.detach().sigmoid(), pd_bboxes.detach()): targets,
+    # per-anchor weights, and score_sum are constants w.r.t. the
+    # params — otherwise the optimizer can lower the loss by shrinking
+    # its own targets/weights instead of improving predictions
     assign = jax.vmap(
         lambda cp, pb, gb, gc, gm: task_aligned_assign(cp, pb, gb, gc, gm, pts)
-    )(decoded["scores"], decoded["boxes"], gt_boxes, gt_classes, gt_mask)
+    )(jax.lax.stop_gradient(decoded["scores"]),
+      jax.lax.stop_gradient(decoded["boxes"]), gt_boxes, gt_classes, gt_mask)
 
     tgt_scores = assign["target_scores"]
     fg = assign["fg"]
@@ -182,14 +188,39 @@ def yolo_loss(result: Dict, gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
     aux = {"box": loss_box, "cls": loss_cls, "dfl": loss_dfl}
 
     if cfg.seg and gt_masks is not None:
+        # Ultralytics-style mask loss, fg-only: TAL selects <= topk(10)
+        # anchors per gt, so gathering the top 10*M weighted anchors is
+        # exact (dropped anchors have w*fg == 0) and avoids materializing
+        # (B, A, Hp, Wp) over ALL ~8400 anchors (~860 MB/image at 640px).
+        # BCE is cropped to the target box and normalized by its area at
+        # proto resolution (`ultralytics loss.py single_mask_loss`).
         coeffs = decoded["coeffs"]                           # (B, A, P)
         protos = result["protos"]                            # (B, Hp, Wp, P)
-        pred_m = jnp.einsum("bhwp,bap->bahw", protos, coeffs)
+        A = fg.shape[1]
+        k = min(10 * gt_boxes.shape[1], A)
+        sel_w, sel_idx = jax.lax.top_k(w * fg, k)            # (B, k)
+        sel_coeffs = jnp.take_along_axis(
+            coeffs, sel_idx[..., None], axis=1)              # (B, k, P)
+        pred_m = jnp.einsum("bhwp,bkp->bkhw", protos, sel_coeffs)
+        gt_idx = jnp.take_along_axis(assign["target_gt_idx"], sel_idx,
+                                     axis=1)
         tgt_m = jnp.take_along_axis(
-            gt_masks, assign["target_gt_idx"][..., None, None], axis=1)
+            gt_masks, gt_idx[..., None, None], axis=1)       # (B, k, Hp, Wp)
+        tgt_b = jnp.take_along_axis(
+            assign["target_boxes"], sel_idx[..., None], axis=1)
+        Hp, Wp = protos.shape[1:3]
+        sx, sy = Wp / img_size[1], Hp / img_size[0]
+        x0, y0 = tgt_b[..., 0] * sx, tgt_b[..., 1] * sy      # (B, k)
+        x1, y1 = tgt_b[..., 2] * sx, tgt_b[..., 3] * sy
+        xs = jnp.arange(Wp, dtype=jnp.float32)[None, None, None, :]
+        ys = jnp.arange(Hp, dtype=jnp.float32)[None, None, :, None]
+        crop = ((xs >= x0[..., None, None]) & (xs < x1[..., None, None])
+                & (ys >= y0[..., None, None]) & (ys < y1[..., None, None]))
+        area = jnp.maximum((x1 - x0) * (y1 - y0), 1.0)       # (B, k)
         mlogz = jnp.log1p(jnp.exp(-jnp.abs(pred_m))) + jnp.maximum(-pred_m, 0)
         mbce = tgt_m * mlogz + (1 - tgt_m) * (mlogz + pred_m)
-        loss_seg = jnp.sum(mbce.mean(axis=(-1, -2)) * w * fg) / score_sum
+        per_anchor = jnp.sum(mbce * crop, axis=(-1, -2)) / area
+        loss_seg = jnp.sum(per_anchor * sel_w) / score_sum
         total = total + seg_w * loss_seg
         aux["seg"] = loss_seg
 

@@ -109,11 +109,11 @@ def nearest_sample_nhwc(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     return rows.reshape((B,) + batch_shape + (C,))
 
 
-def _bilinear_fits(value_levels, C: int) -> bool:
+def _bilinear_fits(value_levels, C: int, T: int = None) -> bool:
     from pautdx.ops.pallas_gather import fits_vmem
 
     L = sum(v.shape[1] * v.shape[2] for v in value_levels)
-    return fits_vmem(L, C, jnp.dtype(value_levels[0].dtype).itemsize)
+    return fits_vmem(L, C, jnp.dtype(value_levels[0].dtype).itemsize, T=T)
 
 
 def ms_deformable_attention_shared(value_levels: List[jnp.ndarray],
@@ -167,7 +167,8 @@ def ms_deformable_attention_shared(value_levels: List[jnp.ndarray],
         from pautdx.ops.pallas_gather import fits_vmem, pallas_onehot_gather
 
         if jax.default_backend() == "tpu" and fits_vmem(
-                L, C, jnp.dtype(flat.dtype).itemsize):
+                L, C, jnp.dtype(flat.dtype).itemsize,
+                T=Q * total_points):
             # VMEM-resident one-hot MXU gather: avoids the ~fixed multi-ms
             # per-op latency of the XLA hardware gather (exact same rows)
             rows = pallas_onehot_gather(
@@ -189,7 +190,7 @@ def ms_deformable_attention_shared(value_levels: List[jnp.ndarray],
             )
         samples = rows.reshape(B, Q, total_points, n_heads, head_dim)
     elif method == "default" and jax.default_backend() == "tpu" and _bilinear_fits(
-            value_levels, n_heads * head_dim):
+            value_levels, n_heads * head_dim, T=Q * total_points):
         # bilinear sampling as ONE sparse-weight MXU matmul over the
         # VMEM-resident level-concat table: each tap row carries its 4
         # corner weights (ops/pallas_gather.pallas_weighted_gather) —

@@ -50,8 +50,12 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
 
     nms_boxes = top_boxes
     if class_aware:
-        # separate classes by translating boxes far apart per class
-        offset = top_classes.astype(jnp.float32)[:, None] * 1e5
+        # separate classes by translating boxes apart per class. The
+        # torchvision trick: offset by (max_coord + 1) per class id — a
+        # fixed 1e5 stride loses sub-pixel precision in f32 for moderate
+        # class ids (ulp(8.4e6) = 1 px) and flips near-threshold IoUs
+        stride = jnp.max(jnp.abs(top_boxes)) + 1.0
+        offset = top_classes.astype(jnp.float32)[:, None] * stride
         nms_boxes = top_boxes + offset
     iou = box_iou_matrix(nms_boxes)
 

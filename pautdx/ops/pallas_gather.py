@@ -63,6 +63,11 @@ def _impl(flat: jnp.ndarray, idx: jnp.ndarray, tile_t: int,
     B, L, C = flat.shape
     T = idx.shape[1]
     tt = tile_t or _pick_tile(T)
+    if T % tt:
+        # grid=(B, T // tt) would silently DROP the last T % tt taps,
+        # leaving those output rows uninitialized; the tile is purely a
+        # perf knob, so fall back to a legal divisor
+        tt = _pick_tile(T)
     idx3 = jnp.clip(idx, 0, L - 1).astype(jnp.int32)[..., None]  # (B, T, 1)
     return pl.pallas_call(
         _gather_kernel,
@@ -110,8 +115,16 @@ def _bwd(tile_t, interpret, res, g):
 pallas_onehot_gather.defvjp(_fwd, _bwd)
 
 
-def fits_vmem(L: int, C: int, itemsize: int, tile_t: int = 256) -> bool:
-    """Whether the one-hot formulation's working set fits the VMEM budget."""
+def fits_vmem(L: int, C: int, itemsize: int, tile_t: int = 256,
+              T: int = None) -> bool:
+    """Whether the one-hot formulation's working set fits the VMEM budget.
+
+    Pass ``T`` (the tap count) to budget with the tile the kernel will
+    ACTUALLY use — ``_pick_tile`` can fall back to the full T when no
+    divisor that is a multiple of 8 exists, far beyond the default 256.
+    """
+    if T is not None:
+        tile_t = _pick_tile(T)
     table = L * C * itemsize
     onehot = tile_t * L * itemsize
     out = tile_t * C * 4

@@ -66,7 +66,9 @@ def pallas_nms(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
                class_aware: bool = True,
                interpret: bool = None) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for ``pautdx.ops.nms.nms`` with the sweep in
-    Pallas. Same fixed-size contract."""
+    Pallas. Same fixed-size contract, EXCEPT the default ``top_k`` is 256
+    (a lane-aligned tile; nms() defaults to 300) — pass top_k explicitly
+    when candidate parity with the XLA path matters on crowded images."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = min(top_k, scores.shape[0])
@@ -76,7 +78,9 @@ def pallas_nms(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
     top_classes = classes[order]
     nms_boxes = top_boxes
     if class_aware:
-        nms_boxes = top_boxes + top_classes.astype(jnp.float32)[:, None] * 1e5
+        # (max_coord + 1) class stride — see ops/nms.py precision note
+        nms_boxes = top_boxes + top_classes.astype(jnp.float32)[:, None] * (
+            jnp.max(jnp.abs(top_boxes)) + 1.0)
     iou = box_iou_matrix(nms_boxes)
     keep = nms_suppress(iou, (top_scores > 0).astype(jnp.float32),
                         iou_threshold, interpret)

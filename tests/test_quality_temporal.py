@@ -64,7 +64,7 @@ def flicker_chunks():
     return chunks
 
 
-def _train_trunk(chunks, steps=350):
+def _train_trunk(chunks, steps=500):
     images = np.concatenate([c.images for c in chunks])
     gtb = np.concatenate([c.normalized_cxcywh() for c in chunks])
     gtc = np.concatenate([c.classes for c in chunks])
@@ -179,7 +179,10 @@ def test_temporal_v1_quality_gate(flicker_chunks):
     key = jax.random.PRNGKey(3)
     rng = np.random.default_rng(1)
     n_seqs = len(chunks)
-    for _ in range(60):
+    # 120 sequence-steps: the HF-faithful detached VFL weight (see
+    # losses/detr.py) suppresses negatives more slowly than the
+    # pre-detach objective this gate was first calibrated against
+    for _ in range(120):
         si = int(rng.integers(0, n_seqs))
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, images[si],
