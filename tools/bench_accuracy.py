@@ -806,7 +806,7 @@ def run_temporal(args, results):
            "flicker": 0.65, "trunk_steps": t_steps,
            "temporal_steps": seq_steps,
            "single_frame_map50": m_trunk}
-    for variant in ("v1", "v3"):
+    for variant in ("v1", "v2", "v3"):
         if f"{variant}_map50" in state:
             m = state[f"{variant}_map50"]
         else:
