@@ -501,7 +501,16 @@ def _cmd_train_temporal(args) -> None:
     )
     from pautdx.train import CheckpointManager
 
-    if args.tiny:
+    trunk_state = None
+    if args.trunk:
+        # restore the trained single-frame D-FINE FIRST: its persisted
+        # config (not the preset defaults) must define the trunk
+        trunk_state, trunk_meta = CheckpointManager(args.trunk).restore(
+            "latest")
+    if args.trunk and trunk_meta.get("dfine_config"):
+        from pautdx.models.vision.dfine import config_from_dict
+        cfg = config_from_dict(trunk_meta["dfine_config"])
+    elif args.tiny:
         cfg = DFineConfig(
             num_labels=args.num_classes, d_model=64, encoder_hidden_dim=64,
             decoder_layers=2, decoder_attention_heads=4,
@@ -541,6 +550,20 @@ def _cmd_train_temporal(args) -> None:
     c0 = chunks[0]
     x0 = jnp.asarray(c0.images)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+    if trunk_state is not None:
+        # load the trained single-frame D-FINE (train-bscan --detector
+        # dfine checkpoint) into the trunk — the reference builds every
+        # temporal variant ON TOP of a trained base model
+        # (`temporal_dfine.py:125-131` loads the finetuned checkpoint)
+        params = dict(variables["params"])
+        bstats = dict(variables["batch_stats"])
+        params["trunk"] = trunk_state["params"]
+        bstats["trunk"] = trunk_state.get("batch_stats", {})
+        variables = {"params": params, "batch_stats": bstats}
+    else:
+        print("warning: no --trunk checkpoint given — the frozen trunk "
+              "stays randomly initialized; the temporal encoder would "
+              "train on noise features (smoke runs only)")
     # reference head reuse: trunk final heads seed the temporal heads
     # (class head stays fresh on a label-count mismatch — v2/v3)
     variables = init_heads_from_trunk(variables, args.variant)
@@ -597,8 +620,6 @@ def _cmd_train_temporal(args) -> None:
             "intermediate_boxes": [out["pred_boxes"]],
             "intermediate_corners": [],
             "initial_references": [],
-            "enc_topk_logits": out["logits"],
-            "enc_topk_bboxes": out["pred_boxes"],
         }
         loss, _ = dfine_criterion(head_out, gt_boxes, gt_classes, gt_mask,
                                   model.head_labels, cfg.max_num_bins)
@@ -763,6 +784,11 @@ def main(argv=None) -> None:
     tt.add_argument("--lr", type=float, default=1e-5)
     tt.add_argument("--tiny", action="store_true",
                     help="tiny trunk (tests / smoke runs)")
+    tt.add_argument("--trunk", default=None,
+                    help="trained single-frame D-FINE checkpoint dir "
+                         "(train-bscan --detector dfine output) to load "
+                         "into the trunk; without it the frozen trunk is "
+                         "random init (smoke runs only)")
     tt.set_defaults(fn=_cmd_train_temporal)
 
     br = sub.add_parser("bridge")

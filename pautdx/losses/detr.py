@@ -303,9 +303,13 @@ def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
         total = total + ddf_weight * loss_ddf
         aux["ddf"] = loss_ddf
 
-    # encoder head
-    ht, _, _, _, _, _ = one_head(outputs["enc_topk_logits"],
-                                 outputs["enc_topk_bboxes"])
-    total = total + ht
+    # encoder head — optional: heads without a real encoder-selection
+    # output (temporal variants) simply omit the keys. Aliasing the
+    # final head's predictions here would double-count every loss term
+    # AND solve a redundant Hungarian match per step.
+    if "enc_topk_logits" in outputs:
+        ht, _, _, _, _, _ = one_head(outputs["enc_topk_logits"],
+                                     outputs["enc_topk_bboxes"])
+        total = total + ht
     aux["total"] = total
     return total, aux

@@ -89,6 +89,20 @@ class DFineConfig:
     # MXU-adjacent elementwise only). pautdx-native presets use True.
     encoder_act_approx: bool = False
 
+    def __post_init__(self):
+        if self.encoder_hidden_dim != self.d_model:
+            # the memory flatten + deformable value split assume the
+            # encoder emits d_model channels (HF ties them via lateral
+            # 1x1s; this implementation ties the config). Fail here with
+            # a clear message, not a broadcast error deep in __call__.
+            raise ValueError(
+                f"encoder_hidden_dim ({self.encoder_hidden_dim}) must "
+                f"equal d_model ({self.d_model}) in this implementation")
+        if self.d_model % self.decoder_attention_heads:
+            raise ValueError(
+                f"d_model {self.d_model} not divisible by "
+                f"decoder_attention_heads {self.decoder_attention_heads}")
+
     @property
     def head_dim(self) -> int:
         return self.d_model // self.decoder_attention_heads

@@ -60,6 +60,13 @@ class HGNetConfig:
                 f"out_indices {self.out_indices} select stages below "
                 f"start_stage={self.start_stage}, which are skipped by the "
                 f"'{self.stem}' stem and would yield no feature map")
+        if self.start_stage > 0 and self.stem != "patchify8":
+            # only the patchify8 stem emits stage_in_channels[start_stage]
+            # at the right stride; other stems feed stage 0's channels and
+            # would fail with an opaque grouped-conv divisibility error
+            raise ValueError(
+                f"start_stage={self.start_stage} requires stem='patchify8' "
+                f"(got '{self.stem}': its output feeds stage 0)")
 
 
 class LearnableAffine(nn.Module):

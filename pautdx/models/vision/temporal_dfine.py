@@ -31,7 +31,16 @@ trains:
   intent of a *temporal* context aggregator.
 
 Input is one sequence of T frames ``(T, H, W, 3)``; the trunk treats T
-as its batch. What trains is an optimizer concern:
+as its batch. Re-design note: the trunk always runs in EVAL mode
+(frozen BatchNorm running stats, no trunk dropout) even for v3 where
+its encoder/decoder weights train — a deliberate deviation from the
+reference's whole-model ``.train()``: sequences arrive one at a time
+(reference batch_size=1), so train-mode BN would recompute statistics
+from a single 50-frame sequence per step, and frozen-stats fine-tuning
+is the standard choice at that batch size. Temporal-layer dropout is
+unaffected.
+
+What trains is an optimizer concern:
 :func:`trainable_mask` returns the per-variant boolean pytree for
 ``optax.multi_transform`` — plus ``stop_trunk_gradient`` (v1/v2) cuts the graph
 like the reference's full freeze so the backward never enters the trunk.
@@ -99,6 +108,10 @@ class TemporalDFine(nn.Module):
                 nn.Dense(1, name="temporal_attention.2")(
                     nn.relu(nn.Dense(256, name="temporal_attention.0")(
                         fused_qt))), axis=-2)          # (Q, T, 1)
+            # inline rather than nn.recurrent.ContextAggregator: the flat
+            # names context_aggregator/context_projector mirror the torch
+            # module tree (checkpoint/import parity), which the composite
+            # would nest under one scope
             context = BiGRU(D, name="context_aggregator")(fused_qt)
             context = nn.Dense(D, name="context_projector")(context)
             feats = jnp.swapaxes(fused_qt * attn + context, 0, 1)
@@ -194,9 +207,13 @@ def init_heads_from_trunk(variables: Dict, variant: str = "v1") -> Dict:
     start near, not at, trunk-quality predictions.
 
     v1 copies both heads; v2/v3 copy only the bbox head when the class
-    head widths differ (the reference's ``ignore_mismatched_sizes=True``
-    fresh-classifier semantics).
+    head widths differ. The decision is SHAPE-driven, exactly like the
+    reference's ``ignore_mismatched_sizes=True`` (``variant`` is accepted
+    for call-site readability but the class-head copy happens iff the
+    widths match — e.g. a v2 with num_temporal_labels == trunk labels
+    copies it, as torch would).
     """
+    del variant
     params = jax.tree_util.tree_map(lambda x: x, dict(variables["params"]))
     trunk = params["trunk"]
     last = max(int(k.rsplit(".", 1)[1]) for k in trunk

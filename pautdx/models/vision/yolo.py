@@ -623,6 +623,15 @@ class YOLO(nn.Module):
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> Dict:
+        H, W = images.shape[1:3]
+        if H % 32 or W % 32:
+            # the PAN neck's 2x upsample + skip concat requires exact
+            # doubling between levels; Ultralytics rounds sizes to the
+            # max stride for the same reason (check_imgsz). Fail with a
+            # clear message instead of a shape error deep in the neck.
+            raise ValueError(
+                f"YOLO input size ({H}, {W}) must be a multiple of 32 "
+                f"(pad or resize; see Ultralytics check_imgsz)")
         feats = Backbone(self.cfg, name="backbone")(images, train)
         neck = Neck(self.cfg, name="neck")(feats, train)
         outs = DetectHead(self.cfg, name="head")(neck, train)
@@ -639,13 +648,21 @@ class YOLO(nn.Module):
 
 
 def anchor_points(img_size: Tuple[int, int],
-                  strides: Sequence[int] = STRIDES) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  strides: Sequence[int] = STRIDES,
+                  level_hw: Optional[Sequence[Tuple[int, int]]] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All anchor centers (x, y) in pixels + per-anchor stride, concatenated
-    over levels. Shapes: (A, 2), (A,)."""
+    over levels. Shapes: (A, 2), (A,).
+
+    Pass ``level_hw`` (the actual feature-map (H, W) per level) for
+    inputs not divisible by 32: the conv chain rounds UP per stride-2
+    stage (SAME padding), so ``H // s`` undercounts and the anchors
+    would misalign with the flattened level tensors.
+    """
     pts, strs = [], []
     H, W = img_size
-    for s in strides:
-        h, w = H // s, W // s
+    for i, s in enumerate(strides):
+        h, w = level_hw[i] if level_hw is not None else (H // s, W // s)
         ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
         xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
         grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
@@ -669,7 +686,11 @@ def decode_boxes(result: Dict, img_size: Tuple[int, int], cfg: YoloConfig
     Returns {"boxes": (B, A, 4), "scores": (B, A, nc)[, "coeffs": (B, A, P)]}.
     """
     boxes, scores, coeffs = [], [], []
-    pts, strs = anchor_points(img_size)
+    # anchors from the ACTUAL level shapes (not img_size // stride):
+    # non-/32 inputs round up through the conv chain
+    pts, strs = anchor_points(
+        img_size,
+        level_hw=[lvl["box"].shape[1:3] for lvl in result["levels"]])
     for i, lvl in enumerate(result["levels"]):
         B, H, W, _ = lvl["box"].shape
         box = dfl_expectation(lvl["box"].reshape(B, H * W, -1), cfg.reg_max)

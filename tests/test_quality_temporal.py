@@ -165,8 +165,6 @@ def test_temporal_v1_quality_gate(flicker_chunks):
                 "intermediate_boxes": [out["pred_boxes"]],
                 "intermediate_corners": [],
                 "initial_references": [],
-                "enc_topk_logits": out["logits"],
-                "enc_topk_bboxes": out["pred_boxes"],
             }
             loss, _ = dfine_criterion(head_out, gtb, gtc, gtm,
                                       model.head_labels, TINY.max_num_bins)

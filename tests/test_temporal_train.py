@@ -59,8 +59,6 @@ def test_temporal_training_loss_decreases(sequence):
             "intermediate_boxes": [out["pred_boxes"]],
             "intermediate_corners": [],
             "initial_references": [],
-            "enc_topk_logits": out["logits"],
-            "enc_topk_bboxes": out["pred_boxes"],
         }
         loss, aux = dfine_criterion(head_out, gt_boxes, gt_classes, gt_mask,
                                     TINY.num_labels, TINY.max_num_bins)
@@ -108,8 +106,6 @@ def test_v1_trunk_stays_gradient_free(sequence):
             "intermediate_boxes": [out["pred_boxes"]],
             "intermediate_corners": [],
             "initial_references": [],
-            "enc_topk_logits": out["logits"],
-            "enc_topk_bboxes": out["pred_boxes"],
         }
         loss, _ = dfine_criterion(head_out, gt_boxes, gt_classes, gt_mask,
                                   TINY.num_labels, TINY.max_num_bins)

@@ -142,8 +142,6 @@ def test_v2_selective_training_updates_only_unfrozen():
             "intermediate_boxes": [out["pred_boxes"]],
             "intermediate_corners": [],
             "initial_references": [],
-            "enc_topk_logits": out["logits"],
-            "enc_topk_bboxes": out["pred_boxes"],
         }
         loss, _ = dfine_criterion(head_out, gt_boxes, gt_classes, gt_mask,
                                   model.head_labels, TINY.max_num_bins)

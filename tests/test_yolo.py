@@ -212,3 +212,16 @@ def test_width_matches_ultralytics_yaml_tables():
     for (flavour, scale, w), want in expected.items():
         got = YoloConfig(num_classes=1, scale=scale, flavour=flavour).width(w)
         assert got == want, (flavour, scale, w, got, want)
+
+
+def test_non_divisible_size_clear_error():
+    """The PAN neck needs /32 inputs (2x upsample + skip concat);
+    Ultralytics rounds sizes up for the same reason. A non-/32 input must
+    fail with a clear ValueError at entry, not a shape error in the neck;
+    anchors also follow the ACTUAL level shapes, not img_size // stride."""
+    import pytest as _pytest
+
+    cfg = YoloConfig(num_classes=1, scale="n")
+    model = YOLO(cfg)
+    with _pytest.raises(ValueError, match="multiple of 32"):
+        _init(model, (1, 68, 68, 3))

@@ -537,8 +537,6 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
             "intermediate_boxes": [out["pred_boxes"]],
             "intermediate_corners": [],
             "initial_references": [],
-            "enc_topk_logits": out["logits"],
-            "enc_topk_bboxes": out["pred_boxes"],
         }
         loss, _ = dfine_criterion(head_out, gtb, gtc, gtm,
                                   model.head_labels, trunk_cfg.max_num_bins)
