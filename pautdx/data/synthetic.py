@@ -52,6 +52,15 @@ class VolumeSpec:
     # (50-frame fusion, `D-Fine/temporal_dfine.py:121-237`)
     amplitude_flicker: float = 0.0
 
+    def __post_init__(self):
+        if not 0.0 <= self.amplitude_flicker <= 1.0:
+            # >1 would flip the echo's SIGN at full energy (a
+            # phase-inverted packet), not fade it — a difficulty sweep
+            # past 1.0 silently stops being a fade sweep
+            raise ValueError(
+                f"amplitude_flicker must be in [0, 1], got "
+                f"{self.amplitude_flicker}")
+
 
 def _wave_packet(n_samples: int, center: float, width: float,
                  amplitude: float, freq: float = 28.0) -> np.ndarray:

@@ -100,6 +100,14 @@ def parse_json_volume(path_or_dict, use_native: bool = True) -> ParsedVolume:
     return ParsedVolume(beam_keys, [float(a) for a in angles], signals, infos)
 
 
+def _scan_index(filename: str):
+    """Integer scan-index prefix of ``<int>_<label>.txt``, else None."""
+    try:
+        return int(filename.split("_")[0])
+    except ValueError:
+        return None
+
+
 def parse_txt_tree(root: str, file_folder: str,
                    use_native: bool = True) -> ParsedVolume:
     """Parse ``root/<file_folder>/<beam>_<angle>/<scan>_<label>[_s-e].txt``.
@@ -127,15 +135,19 @@ def parse_txt_tree(root: str, file_folder: str,
         # collects *.txt, so the Python listing must be at least as strict
         # or a stray file would KeyError the tree lookup / crash the
         # int() sort key (e.g. a dropped-in notes.txt)
-        def _scan_idx(f):
-            try:
-                return int(f.split("_")[0])
-            except ValueError:
-                return None
-
-        files = sorted((f for f in os.listdir(beam_dir)
-                        if f.endswith(".txt") and _scan_idx(f) is not None),
-                       key=_scan_idx)
+        listing = os.listdir(beam_dir)
+        indexed = sorted(
+            (idx, f) for f in listing
+            if f.endswith(".txt") and (idx := _scan_index(f)) is not None)
+        files = [f for _, f in indexed]
+        if not files and any(f.endswith(".txt") for f in listing):
+            # every .txt failed the index filter: that's a naming-scheme
+            # mismatch (e.g. 'scan12_...'), not stray files — an empty
+            # volume here would silently train/eval on zeros
+            raise ValueError(
+                f"no scan files in {beam_dir} match the "
+                f"'<int>_<label>.txt' grammar (example present: "
+                f"{next(f for f in listing if f.endswith('.txt'))!r})")
         rows, row_infos = [], []
         for fn in files:
             row = tree.get(f"{beam}/{fn}") if tree is not None else None

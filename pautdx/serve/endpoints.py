@@ -17,6 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_OVERFLOW_FACTOR = 8
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     i = bisect.bisect_left(buckets, n)
     if i == len(buckets):
@@ -24,10 +27,19 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
         # bucket until it fits (a power of two only if the largest bucket
         # is one) — the ONNX dynamic-axes contract this replaces accepts
         # any size, so a larger-than-configured request compiles one more
-        # bucket instead of failing
+        # bucket instead of failing. BOUNDED at 8x the largest configured
+        # bucket: the axis is request-controlled, and an unbounded double
+        # would let one oversized request force an enormous pad + compile
+        # (host/device OOM) — beyond the cap, fail loudly like the
+        # pre-overflow contract did
         b = buckets[-1]
         while b < n:
             b *= 2
+        if b > buckets[-1] * _OVERFLOW_FACTOR:
+            raise ValueError(
+                f"request size {n} exceeds the overflow cap "
+                f"({buckets[-1]} * {_OVERFLOW_FACTOR}); raise the "
+                f"configured buckets for workloads of this size")
         return b
     return buckets[i]
 

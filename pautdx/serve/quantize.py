@@ -1,12 +1,19 @@
 """Weight-only int8 quantization for serving (SURVEY.md §7 stage 8).
 
 The D-FINE serving model is HBM-bandwidth-bound at production batch
-sizes (`models/vision/dfine.py` perf notes): every step re-reads the
-full weight set from HBM. Storing kernels as int8 with per-output-
-channel scales quarters that traffic vs f32 (halves vs bf16); the
-dequantize (``convert(s8->bf16) * scale``) is elementwise and fuses
-into the consuming matmul/conv under XLA, so the MXU still computes in
-bf16 at full accuracy headroom.
+sizes (`models/vision/dfine.py` perf notes). Storing kernels as int8
+with per-output-channel scales halves their storage vs bf16; the
+dequantize (``convert(s8->bf16) * scale``) is elementwise.
+
+MEASURED NEGATIVE RESULT for this model (PERF_INT8.json, PROGRESS.md):
+inside the jitted streaming scan the closed-over int8 tree is a
+loop-invariant constant, so XLA hoists the dequantize out of the loop
+and the per-step weight reads are the SAME bf16 tensors as the dense
+baseline — plus the one-time dequant (-2% fps). Weights are also only
+~0.1% of per-frame traffic here. The transform remains useful for
+checkpoint/transfer size and as the storage layer for a future
+activation-int8 path; do not expect per-step HBM savings from
+weight-only int8 under a scan.
 
 This replaces the capability the reference gets from Ultralytics/ONNX
 ``int8=True`` export knobs (`BscanBased/yolo/yolo_bbox_retrain.py:39`,
@@ -25,7 +32,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 _QKEYS = frozenset(("__q8__", "__s8__"))
@@ -66,14 +72,16 @@ def quantize_variables(variables: Dict, min_size: int = 4096) -> Dict:
 
 
 def dequantize_variables(qvars: Dict, dtype=jnp.bfloat16) -> Dict:
-    """Inverse transform, trace-safe: int8 leaves stay int8 *inputs* to
-    the jitted computation; the convert+scale happens on device and XLA
-    fuses it into the consumer."""
+    """Inverse transform, trace-safe: the convert+scale happens on
+    device (under a scan, XLA hoists it to loop-invariant code — see the
+    module docstring)."""
 
     def walk(tree):
         out = {}
         for k, v in dict(tree).items():
-            if isinstance(v, dict) and set(v.keys()) == _QKEYS:
+            # Mapping check (not `type(v) is dict`): a FrozenDict-wrapped
+            # quantized node must dequantize, not recurse-through
+            if hasattr(v, "keys") and set(v.keys()) == _QKEYS:
                 out[k] = (v["__q8__"].astype(jnp.float32)
                           * v["__s8__"]).astype(dtype)
             elif isinstance(v, dict) or type(v).__name__ == "FrozenDict":
@@ -90,9 +98,24 @@ def quantized_bytes(tree: Any) -> Tuple[int, int]:
     accounting for the perf notes."""
     stored = 0
     dense = 0
-    for leaf in jax.tree_util.tree_leaves(tree):
-        stored += leaf.size * leaf.dtype.itemsize
-        dense += leaf.size * 2
+
+    def walk(t):
+        nonlocal stored, dense
+        for k, v in dict(t).items():
+            if hasattr(v, "keys") and set(v.keys()) == _QKEYS:
+                stored += (v["__q8__"].size * v["__q8__"].dtype.itemsize
+                           + v["__s8__"].size * v["__s8__"].dtype.itemsize)
+                # dense baseline: the kernel alone — scales are pure
+                # quantization overhead and must not inflate it
+                dense += v["__q8__"].size * 2
+            elif hasattr(v, "keys"):
+                walk(v)
+            else:
+                stored += v.size * v.dtype.itemsize
+                dense += v.size * 2
+
+    for t in dict(tree).values():
+        walk(t)
     return stored, dense
 
 
@@ -100,8 +123,9 @@ def make_quantized_apply(model, variables, min_size: int = 4096,
                          dtype=jnp.bfloat16):
     """Returns (apply_fn(images) -> model output dict, qvars).
 
-    ``apply_fn`` closes over the int8 tree; jit it (or wrap it in the
-    streaming scan) and the weights ship to the device as int8.
+    ``apply_fn`` closes over the int8 tree; the weights upload as int8
+    (4x smaller transfer). Under a jitted scan the per-step HBM benefit
+    vanishes (loop-invariant hoisting — module docstring).
     """
     qvars = quantize_variables(variables, min_size=min_size)
 
