@@ -211,9 +211,12 @@ class BatchIterator:
             idx = order[i * bs:(i + 1) * bs]
             mask = np.ones((bs,), np.float32)
             if idx.shape[0] < bs:  # padded tail (eval only)
-                pad = bs - idx.shape[0]
                 mask[idx.shape[0]:] = 0.0
-                idx = np.concatenate([idx, order[:pad]])
+                # np.resize tiles `order` as needed — order[:pad] alone
+                # is short whenever the whole dataset is smaller than
+                # one batch (then the arrays would disagree with mask)
+                idx = np.concatenate(
+                    [idx, np.resize(order, bs - idx.shape[0])])
             batch = {
                 "signals": self.ds.signals[idx],
                 "labels": self.ds.labels[idx],

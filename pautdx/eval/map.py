@@ -43,6 +43,11 @@ def evaluate_map(predictions: List[Dict[str, np.ndarray]],
     """predictions[i]: {boxes (n,4) xyxy, scores (n,), classes (n,)};
     ground_truths[i]: {boxes (m,4), classes (m,)}. Images are index-aligned.
     """
+    if len(predictions) != len(ground_truths):
+        # zip would silently truncate and score the wrong image pairing
+        raise ValueError(
+            f"predictions ({len(predictions)}) and ground_truths "
+            f"({len(ground_truths)}) must be index-aligned")
     ap_per_thresh = []
     for iou_t in iou_thresholds:
         aps = []
@@ -64,8 +69,15 @@ def evaluate_map(predictions: List[Dict[str, np.ndarray]],
                 else:
                     ious = np.zeros((p_boxes.shape[0], gt_boxes.shape[0]))
                 for i in range(p_boxes.shape[0]):
-                    j = int(np.argmax(ious[i])) if gt_boxes.shape[0] else -1
-                    if j >= 0 and ious[i, j] >= iou_t and not used[j]:
+                    # argmax over UNUSED gts only (COCO/Ultralytics
+                    # semantics): a prediction whose best-IoU gt is taken
+                    # must still match the best remaining gt above the
+                    # threshold, or mAP under-reports on overlapping
+                    # defects
+                    row = np.where(used, -1.0, ious[i]) \
+                        if gt_boxes.shape[0] else ious[i]
+                    j = int(np.argmax(row)) if gt_boxes.shape[0] else -1
+                    if j >= 0 and row[j] >= iou_t:
                         used[j] = True
                         records.append((p_scores[i], 1))
                     else:

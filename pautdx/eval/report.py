@@ -75,7 +75,11 @@ class SignalEvaluator:
             for k, v in report.items():
                 w.writerow([k, v])
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-            json.dump(report, f, indent=1)
+            # NaN metrics (e.g. AUC on single-class data) would emit bare
+            # NaN tokens that strict JSON parsers reject — null them
+            clean = {k: (None if isinstance(v, float) and v != v else v)
+                     for k, v in report.items()}
+            json.dump(clean, f, indent=1)
 
 
 def prediction_map(predict_fn: Callable[[np.ndarray], Dict],

@@ -16,11 +16,15 @@ from pautdx.eval.map import average_precision
 
 
 def mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n, H, W) x (m, H, W) binary -> (n, m) IoU."""
-    a = a.reshape(a.shape[0], -1).astype(bool)
-    b = b.reshape(b.shape[0], -1).astype(bool)
-    inter = (a[:, None, :] & b[None, :, :]).sum(-1)
-    union = (a[:, None, :] | b[None, :, :]).sum(-1)
+    """(n, H, W) x (m, H, W) binary -> (n, m) IoU.
+
+    Intersection via matmul: broadcasting (n, m, H*W) booleans costs
+    O(n*m*HW) memory (~4 GB at 100x100 640px masks); this is
+    O((n+m)*HW + n*m)."""
+    a = a.reshape(a.shape[0], -1).astype(np.float32)
+    b = b.reshape(b.shape[0], -1).astype(np.float32)
+    inter = a @ b.T
+    union = a.sum(-1)[:, None] + b.sum(-1)[None, :] - inter
     return inter / np.maximum(union, 1)
 
 
@@ -31,6 +35,10 @@ def evaluate_mask_map(predictions: List[Dict[str, np.ndarray]],
                       binarize: float = 0.5) -> Dict[str, float]:
     """predictions[i]: {masks (n,H,W) in [0,1], scores (n,), classes (n,)};
     ground_truths[i]: {masks (m,H,W) binary, classes (m,)}."""
+    if len(predictions) != len(ground_truths):
+        raise ValueError(
+            f"predictions ({len(predictions)}) and ground_truths "
+            f"({len(ground_truths)}) must be index-aligned")
     out = {}
     aps = []
     for iou_t in iou_thresholds:
@@ -52,8 +60,12 @@ def evaluate_mask_map(predictions: List[Dict[str, np.ndarray]],
                         if p_masks.shape[0] and g_masks.shape[0]
                         else np.zeros((p_masks.shape[0], g_masks.shape[0])))
                 for i in range(p_masks.shape[0]):
-                    j = int(np.argmax(ious[i])) if g_masks.shape[0] else -1
-                    hit = j >= 0 and ious[i, j] >= iou_t and not used[j]
+                    # argmax over UNUSED gts (COCO semantics — see
+                    # eval/map.py)
+                    row = (np.where(used, -1.0, ious[i])
+                           if g_masks.shape[0] else ious[i])
+                    j = int(np.argmax(row)) if g_masks.shape[0] else -1
+                    hit = j >= 0 and row[j] >= iou_t
                     if hit:
                         used[j] = True
                     records.append((p_scores[i], int(hit)))
@@ -69,7 +81,9 @@ def evaluate_mask_map(predictions: List[Dict[str, np.ndarray]],
             rec = cum_tp / n_gt
             prec = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
             per_class.append(average_precision(rec, prec))
-        aps.append(float(np.mean(per_class)) if per_class else float("nan"))
+        # 0.0 (not NaN) when no class had ground truth — same contract
+        # as eval/map.py so quality gates can threshold the result
+        aps.append(float(np.mean(per_class)) if per_class else 0.0)
         out[f"mask_mAP@{iou_t}"] = aps[-1]
-    out["mask_mAP"] = float(np.nanmean(aps))
+    out["mask_mAP"] = float(np.mean(aps)) if aps else 0.0
     return out

@@ -25,12 +25,18 @@ def make_mesh(n_devices: Optional[int] = None,
         devs = devs[:n_devices]
     if len(axis_names) == 1:
         arr = np.asarray(devs)
-    else:
-        # split devices evenly across leading axes; last axis gets the rest
+    elif len(axis_names) == 2:
+        # balanced split: largest divisor of n that is <= sqrt(n) goes to
+        # the SECOND axis (tp-style minor axis rides the faster links)
         n = len(devs)
-        shape = [1] * len(axis_names)
-        shape[0] = n
-        arr = np.asarray(devs).reshape(shape)
+        minor = max((d for d in range(1, int(n ** 0.5) + 1) if n % d == 0))
+        arr = np.asarray(devs).reshape(n // minor, minor)
+    else:
+        # >2 axes has no sensible default split — make the caller choose
+        # (pautdx.mesh.tp.mesh_2d covers the (dp, tp) case)
+        raise ValueError(
+            f"make_mesh cannot auto-shape {len(axis_names)} axes; pass "
+            f"`devices` pre-reshaped or build the Mesh directly")
     return Mesh(arr, axis_names=tuple(axis_names))
 
 

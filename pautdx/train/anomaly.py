@@ -42,6 +42,10 @@ def train_autoencoder(healthy_signals: np.ndarray, *, epochs: int = 30,
 
     rng = np.random.default_rng(seed)
     n = healthy_signals.shape[0]
+    # small datasets: shrink the batch instead of silently running ZERO
+    # steps (n < batch_size made every epoch a no-op and returned a
+    # randomly-initialized AE)
+    batch_size = min(batch_size, n)
     for _ in range(epochs):
         order = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):

@@ -126,6 +126,12 @@ class Trainer:
             new_opt = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(finite, n, o), new_opt,
                 state.opt_state)
+            # ... and the poisoned forward's BatchNorm batch statistics
+            # would permanently write NaN into the running stats — gate
+            # them with the same flag
+            new_bs = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_bs,
+                state.batch_stats)
             aux = dict(aux)
             aux["update_was_finite"] = finite.astype(jnp.float32)
             new_params = optax.apply_updates(state.params, updates)
@@ -221,6 +227,11 @@ class Trainer:
                 val_m, _ = self.evaluate(state, val_batches_fn())
                 row.update({f"val_{k}": v for k, v in val_m.items()})
                 val_loss = val_m.get("loss")
+                if val_m.get("loss_was_finite", 1.0) < 1.0:
+                    # the guarded objective substitutes a constant for
+                    # non-finite losses — a diverged epoch must not
+                    # masquerade as 'best' / feed plateau logic
+                    val_loss = float("inf")
             row["lr_scale"] = lr_scale
             row["time_s"] = round(time.time() - t0, 3)
             for k, v in row.items():
