@@ -34,6 +34,19 @@ def _flatten(tree: Dict, prefix: Tuple[str, ...] = ()) -> Dict[str, Any]:
     return out
 
 
+def _rebuild(tree: Dict, flat: Dict[str, Any],
+             prefix: Tuple[str, ...] = ()) -> Dict:
+    """Inverse of _flatten: pour a flat {dotted.path: leaf} dict back
+    into the nesting of ``tree``."""
+    out = {}
+    for k, v in dict(tree).items():
+        if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+            out[k] = _rebuild(dict(v), flat, prefix + (str(k),))
+        else:
+            out[k] = flat[".".join(prefix + (str(k),))]
+    return out
+
+
 def convert_state_dict(torch_sd: Dict[str, np.ndarray],
                        target_variables: Dict) -> Tuple[Dict, List[str]]:
     """Return (variables, unused_torch_keys). Raises on unmatched target."""
@@ -52,12 +65,17 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray],
         if leaf == "kernel" and f"{prefix}.weight" in torch_sd:
             w = grab(f"{prefix}.weight")
             if w.ndim == 4:
+                # assumes Conv2d (out, in, kh, kw). A ConvTranspose2d
+                # source stores (in, out, kh, kw) and would convert
+                # silently transposed when in == out — callers with
+                # deconvs must pre-swap (see yolo_import's special case)
                 w = np.transpose(w, (2, 3, 1, 0))
             elif w.ndim == 3:
                 w = np.transpose(w, (2, 1, 0))
             else:
                 w = w.T
-        elif leaf == "scale":
+        elif leaf == "scale" and (path in torch_sd
+                                  or f"{prefix}.weight" in torch_sd):
             w = grab(path) if path in torch_sd else grab(f"{prefix}.weight")
         elif leaf == "bias" and f"{prefix}.bias" in torch_sd:
             w = grab(f"{prefix}.bias")
@@ -94,19 +112,10 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray],
         raise KeyError(f"{len(hard_missing)} target leaves had no torch "
                        f"source, e.g. {hard_missing[:8]}")
 
-    def build(tree: Dict, flat: Dict[str, Any],
-              prefix: Tuple[str, ...] = ()) -> Dict:
-        out = {}
-        for k, v in dict(tree).items():
-            if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
-                out[k] = build(dict(v), flat, prefix + (str(k),))
-            else:
-                out[k] = flat[".".join(prefix + (str(k),))]
-        return out
-
-    variables = {"params": build(dict(target_variables["params"]), new_params)}
+    variables = {"params": _rebuild(dict(target_variables["params"]),
+                                    new_params)}
     if stats_flat:
-        variables["batch_stats"] = build(
+        variables["batch_stats"] = _rebuild(
             dict(target_variables["batch_stats"]), new_stats)
     unused = [k for k in torch_sd if k not in used]
     return variables, unused

@@ -29,7 +29,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from pautdx.compat.dfine_import import _flatten
+from pautdx.compat.dfine_import import _flatten, _rebuild
 
 # layer index -> pautdx module base path (yolov8.yaml)
 _V8_TABLE = {
@@ -76,16 +76,24 @@ _V11_TABLE = {
 }
 
 
-def _normalize_keys(torch_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Strip leading 'model.' wrappers until keys start with an int."""
+def _normalize_keys(torch_sd: Dict[str, np.ndarray]
+                    ) -> Tuple[Dict[str, np.ndarray], list]:
+    """Strip leading 'model.' wrappers until keys start with an int.
+
+    Returns (normalized dict, keys with no digit segment) — the latter
+    (e.g. a 'stride' buffer) must surface in unused_torch_keys, not
+    vanish before accounting."""
     out = {}
+    undigited = []
     for k, v in torch_sd.items():
         parts = k.split(".")
         while parts and not parts[0].isdigit():
             parts = parts[1:]
         if parts:
             out[".".join(parts)] = v
-    return out
+        else:
+            undigited.append(k)
+    return out, undigited
 
 
 def _head_path(rest: str) -> Tuple[str, str]:
@@ -112,7 +120,7 @@ def convert_yolo_state_dict(torch_sd: Dict[str, np.ndarray],
         raise ValueError(f"unsupported flavour {flavour!r} "
                          f"(known: {sorted(tables)})")
     table = tables[flavour]
-    sd = _normalize_keys(torch_sd)
+    sd, undigited = _normalize_keys(torch_sd)
 
     new_params: Dict[str, np.ndarray] = {}
     new_stats: Dict[str, np.ndarray] = {}
@@ -175,24 +183,20 @@ def convert_yolo_state_dict(torch_sd: Dict[str, np.ndarray],
         new_params[p] = np.asarray(new_params[p]).astype(
             np.asarray(tgt).dtype)
     for p, tgt in stats_flat.items():
+        if tuple(np.shape(new_stats[p])) != tuple(np.shape(tgt)):
+            # a mis-shaped running stat would otherwise fail later at
+            # apply time with a broadcast error far from the importer
+            raise ValueError(f"shape mismatch at {p}: torch "
+                             f"{np.shape(new_stats[p])} vs "
+                             f"{np.shape(tgt)}")
         new_stats[p] = np.asarray(new_stats[p]).astype(np.asarray(tgt).dtype)
 
-    def build(tree: Dict, flat: Dict[str, np.ndarray],
-              prefix: Tuple[str, ...] = ()) -> Dict:
-        out = {}
-        for k, v in dict(tree).items():
-            if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
-                out[k] = build(dict(v), flat, prefix + (str(k),))
-            else:
-                out[k] = flat[".".join(prefix + (str(k),))]
-        return out
-
-    variables = {"params": build(dict(target_variables["params"]),
-                                 new_params)}
+    variables = {"params": _rebuild(dict(target_variables["params"]),
+                                    new_params)}
     if stats_flat:
-        variables["batch_stats"] = build(
+        variables["batch_stats"] = _rebuild(
             dict(target_variables["batch_stats"]), new_stats)
-    unused = [k for k in sd if k not in used]
+    unused = [k for k in sd if k not in used] + undigited
     return variables, unused
 
 

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 from pautdx.losses.classification import focal_bce_with_logits
 from pautdx.losses.regression import interval_iou_1d
 
-STRIDES = (8, 16, 32)
+# single source of truth for the 1D pyramid strides (decode must match
+# target building)
+from pautdx.models.signal.detloc1d import STRIDES  # noqa: F401,E402
 
 
 def gaussian_heatmap_1d(centers: jnp.ndarray, widths: jnp.ndarray,

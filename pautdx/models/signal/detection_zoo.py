@@ -94,6 +94,11 @@ class NoiseRobustModel(nn.Module):
                         norm=self.norm, name="denoise")(x, train)
         x = adaptive_avg_pool1d(x, 128).mean(axis=-1)
         h = x.reshape(B, N, 128)
+        if self.d_model != 128:
+            # the pooled descriptor is 128-wide; a non-default d_model
+            # needs a projection or the encoder silently runs at 128
+            # while ffn_dim/heads follow d_model
+            h = nn.Dense(self.d_model, name="proj")(h)
         h = RelativePositionEncoding(1200, name="pos_enc")(h)
         h = Encoder(self.num_layers, self.num_heads, 4 * self.d_model,
                     self.dropout, flavour="hybrid", name="encoder")(

@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from pautdx.models.signal.msc_n import ImprovedMSC, _ConvDescriptor
 from pautdx.nn.attention import RelativePositionEncoding
-from pautdx.nn.blocks import BackgroundExtractor, MLP
+from pautdx.nn.blocks import MLP
 from pautdx.nn.transformer import Encoder
 
 
@@ -50,13 +50,16 @@ class EnhancedPositionMSC(nn.Module):
 
     @nn.compact
     def __call__(self, signals, train: bool = False) -> Dict[str, jnp.ndarray]:
+        # chained dual-scale bg (k15 -> BN -> k31) on the CONV features
+        # (`enhanced_position_model.py:87-91`); k9 local attention
         shared = _ConvDescriptor((16, 32), (3, 3), self.d_model, self.norm,
+                                 bg_kernels=(15, 31), bg_chained=True,
+                                 dropout=self.dropout,
                                  name="descriptor")(signals, train)
-        shared = BackgroundExtractor((15, 31), name="bg")(shared)
         h = RelativePositionEncoding(self.max_len, name="pos_enc")(shared)
         h = Encoder(self.num_layers, self.num_heads, 4 * self.d_model,
-                    self.dropout, flavour="hybrid", name="encoder")(
-            h, train=train)
+                    self.dropout, flavour="hybrid", local_kernels=(9, 0),
+                    name="encoder")(h, train=train)
 
         det_logit = MLP((64, 1), dropout=self.dropout, name="detection_head")(
             h, train)[..., 0]
@@ -86,15 +89,16 @@ class FixedEnhancedPositionMSC(nn.Module):
     @nn.compact
     def __call__(self, signals, train: bool = False) -> Dict[str, jnp.ndarray]:
         shared = _ConvDescriptor((16, 32), (3, 3), self.d_model, self.norm,
+                                 bg_kernels=(15, 31), bg_chained=True,
+                                 dropout=self.dropout,
                                  name="descriptor")(signals, train)
-        shared = BackgroundExtractor((15, 31), name="bg")(shared)
         shared = RelativePositionEncoding(self.max_len, name="pos_enc")(shared)
         h_det = Encoder(self.num_layers, self.num_heads, 4 * self.d_model,
-                        self.dropout, flavour="hybrid", name="det_encoder")(
-            shared, train=train)
+                        self.dropout, flavour="hybrid", local_kernels=(9, 0),
+                        name="det_encoder")(shared, train=train)
         h_pos = Encoder(self.num_layers, self.num_heads, 4 * self.d_model,
-                        self.dropout, flavour="hybrid", name="pos_encoder")(
-            shared, train=train)
+                        self.dropout, flavour="hybrid", local_kernels=(9, 0),
+                        name="pos_encoder")(shared, train=train)
         det_logit = MLP((64, 1), dropout=self.dropout, name="detection_head")(
             h_det, train)[..., 0]
         pos = MLP((128, 64, 2), dropout=self.dropout, name="position_head")(

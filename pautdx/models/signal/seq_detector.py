@@ -67,14 +67,18 @@ class SignalSequenceDetector(nn.Module):
         h = Encoder(self.num_layers, self.num_heads, 4 * self.d_model,
                     self.dropout, name="transformer")(h, train=train)
         context = ContextAggregator(self.d_model, name="context")(h)
-        health = MLP((self.d_model, self.d_model), name="health_extractor")(
-            context.mean(axis=-2), train)
-        attn = nn.softmax(nn.Dense(1, name="seq_attention")(h), axis=-2)
+        # PER-STEP health features from the transformer output (the
+        # reference's health_extractor runs on sequence_features with no
+        # pooling, `model.py:272-313`), d -> d/2 -> d/4 -> d, no final act
+        health = MLP((self.d_model // 2, self.d_model // 4, self.d_model),
+                     name="health_extractor")(h, train)
+        # 2-layer attention scorer d -> d/4 -> 1 (`model.py:281-285`)
+        attn = nn.softmax(
+            MLP((self.d_model // 4, 1), name="seq_attention")(h, train),
+            axis=-2)
         enhanced = h * attn + context
 
-        anomaly_in = jnp.concatenate(
-            [enhanced, jnp.broadcast_to(health[..., None, :], enhanced.shape)],
-            axis=-1)
+        anomaly_in = jnp.concatenate([enhanced, health], axis=-1)
         anomaly = nn.sigmoid(MLP((self.d_model, 1), name="anomaly")(
             anomaly_in, train)[..., 0])
 

@@ -60,8 +60,12 @@ class TinyMHA(nn.Module):
 
 
 class LocalAttention(nn.Module):
-    """Two chained depthwise convs over the sequence axis — local context
-    mixing the reference uses inside its transformer layers."""
+    """Depthwise conv(s) over the sequence axis — local context mixing
+    inside the reference's transformer layers. Two chained convs (k11,
+    k5) is the HybridBinary form (`hybrid_binary.py:18-44`);
+    ``kernel_size2=0`` gives the single-conv form of MSC_N (k5,
+    `NN_models.py:151-167`) and ImprovedMSC (k9,
+    `improved_model.py:18-33`)."""
 
     kernel_size: int = 11
     kernel_size2: int = 5
@@ -69,7 +73,8 @@ class LocalAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = DepthwiseConv1D(self.kernel_size, name="local1")(x)
-        x = DepthwiseConv1D(self.kernel_size2, name="local2")(x)
+        if self.kernel_size2:
+            x = DepthwiseConv1D(self.kernel_size2, name="local2")(x)
         return x
 
 

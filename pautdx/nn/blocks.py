@@ -16,6 +16,7 @@ from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -38,6 +39,8 @@ class Norm1D(nn.Module):
             return nn.GroupNorm(num_groups=g)(x)
         if self.kind == "layer":
             return nn.LayerNorm()(x)
+        if self.kind == "none":
+            return x          # reference MSC/MSC_N conv stacks have no norm
         raise ValueError(f"unknown norm kind {self.kind!r}")
 
 
@@ -97,16 +100,27 @@ class BackgroundExtractor(nn.Module):
     """Subtract a depthwise low-pass 'background' estimate from features.
 
     The MSC_N idea (`signals/multisignalNN/NN_models.py:225-246`): a wide
-    depthwise conv over the *signal axis of the sequence* estimates the
+    depthwise conv over the sample axis of the conv FEATURES estimates the
     slowly varying background, which is subtracted to highlight defects.
-    With two kernel sizes this becomes the EnhancedPosition dual-scale
-    variant (`enhanced_position_model.py:87-91`).
+    ``chained=True`` is the EnhancedPosition form — the kernels run
+    SEQUENTIALLY with a norm between (k15 -> BN -> k31,
+    `enhanced_position_model.py:87-91`); otherwise multiple kernels
+    average in parallel.
     """
 
     kernel_sizes: Tuple[int, ...] = (15,)
+    chained: bool = False
+    norm: str = "batch"        # between chained convs only
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        if self.chained:
+            bg = x
+            for i, k in enumerate(self.kernel_sizes):
+                bg = DepthwiseConv1D(k, name=f"bg_k{k}")(bg)
+                if i < len(self.kernel_sizes) - 1:
+                    bg = Norm1D(self.norm)(bg, train)
+            return x - bg
         bg = jnp.zeros_like(x)
         for k in self.kernel_sizes:
             bg = bg + DepthwiseConv1D(k, name=f"bg_k{k}")(x)
@@ -218,18 +232,26 @@ class MLP(nn.Module):
 
 
 def adaptive_avg_pool1d(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """(..., L, C) -> (..., out_len, C) by mean over near-equal bins —
-    torch AdaptiveAvgPool1d semantics for the common divisible case, linear
-    resample otherwise (matches the reference's fixed_pool + interpolate
-    fallback, `hybrid_binary.py:107-145`)."""
+    """(..., L, C) -> (..., out_len, C), EXACT torch AdaptiveAvgPool1d
+    semantics: output bin i averages input [floor(i*L/out),
+    ceil((i+1)*L/out)) — the canonical reference models pool with
+    ``nn.AdaptiveAvgPool1d(128)`` (`complex_detection_model.py:34`), and
+    at the shipped signal lengths (320, 360) the bins are NON-uniform
+    (size 2-3), which a linear resample does not reproduce.
+
+    Non-divisible case runs as one (out, L) averaging-matrix matmul —
+    shapes are static, so the matrix is a trace-time constant and the op
+    lands on the MXU."""
     L = x.shape[-2]
     if L % out_len == 0:
         k = L // out_len
         shape = x.shape[:-2] + (out_len, k, x.shape[-1])
         return x.reshape(shape).mean(axis=-2)
-    # linear interpolation (align_corners=False)
-    src = (jnp.arange(out_len) + 0.5) * (L / out_len) - 0.5
-    lo = jnp.clip(jnp.floor(src), 0, L - 1).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, L - 1)
-    w = jnp.clip(src - lo, 0.0, 1.0)[..., None]
-    return jnp.take(x, lo, axis=-2) * (1 - w) + jnp.take(x, hi, axis=-2) * w
+    idx = np.arange(out_len)
+    starts = np.floor(idx * L / out_len).astype(np.int64)
+    ends = np.ceil((idx + 1) * L / out_len).astype(np.int64)
+    mat = np.zeros((out_len, L), np.float32)
+    for i in range(out_len):
+        mat[i, starts[i]:ends[i]] = 1.0 / (ends[i] - starts[i])
+    m = jnp.asarray(mat, x.dtype)
+    return jnp.einsum("ol,...lc->...oc", m, x)

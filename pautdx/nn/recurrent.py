@@ -40,14 +40,19 @@ class BiLSTM(nn.Module):
 
 
 class ContextAggregator(nn.Module):
-    """BiGRU + projection back to d_model; global sequence context
-    (`model.py:179-192` + `temp_dfine_over_improved.py` context_projector)."""
+    """Stacked BiGRU + projection back to d_model; global sequence
+    context. Reference (`model.py:160-192`): nn.GRU(hidden=d_model//2,
+    num_layers=2, bidirectional) — per-direction hidden d/2 so the
+    concat is d wide, stacked twice — then Linear(d, d)."""
 
     d_model: int
+    num_layers: int = 2
 
     @nn.compact
     def __call__(self, x):
-        h = BiGRU(self.d_model)(x)
+        h = x
+        for i in range(self.num_layers):
+            h = BiGRU(self.d_model // 2, name=f"gru_{i}")(h)
         return nn.Dense(self.d_model, name="proj")(h)
 
 

@@ -92,22 +92,34 @@ class CrossShiftEncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
-    """A stack of encoder layers of the chosen flavour."""
+    """A stack of encoder layers of the chosen flavour.
+
+    ``local_kernels`` (hybrid flavour only): (k1, k2) for the layer's
+    LocalAttention; k2=0 = single conv. Defaults to the HybridBinary
+    (11, 5); MSC_N passes (5, 0) and ImprovedMSC (9, 0) per their
+    references."""
 
     num_layers: int
     num_heads: int
     ffn_dim: int
     dropout: float = 0.1
     flavour: str = "plain"   # plain | hybrid | cross_shift
+    local_kernels: tuple = (11, 5)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        layer_cls = {
-            "plain": EncoderLayer,
-            "hybrid": HybridEncoderLayer,
-            "cross_shift": CrossShiftEncoderLayer,
-        }[self.flavour]
         for i in range(self.num_layers):
-            x = layer_cls(self.num_heads, self.ffn_dim, self.dropout,
-                          name=f"layer_{i}")(x, train=train)
+            if self.flavour == "hybrid":
+                layer = HybridEncoderLayer(
+                    self.num_heads, self.ffn_dim, self.dropout,
+                    local_kernel=self.local_kernels[0],
+                    local_kernel2=self.local_kernels[1],
+                    name=f"layer_{i}")
+            else:
+                layer_cls = {"plain": EncoderLayer,
+                             "cross_shift": CrossShiftEncoderLayer}[
+                    self.flavour]
+                layer = layer_cls(self.num_heads, self.ffn_dim,
+                                  self.dropout, name=f"layer_{i}")
+            x = layer(x, train=train)
         return x

@@ -128,3 +128,24 @@ def test_dfine_nano_stride8_forward():
     q = min(cfg.num_queries, 80)
     assert out["logits"].shape == (1, q, 2)
     assert out["pred_boxes"].shape == (1, q, 4)
+
+
+def test_adaptive_avg_pool1d_matches_torch():
+    """Exact torch AdaptiveAvgPool1d parity INCLUDING non-divisible
+    lengths — the canonical reference models pool with
+    nn.AdaptiveAvgPool1d(128) (`complex_detection_model.py:34`) and both
+    shipped signal lengths (320 OPD, 360 FPD) produce non-uniform bins
+    that a linear resample does not reproduce."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from pautdx.nn.blocks import adaptive_avg_pool1d
+
+    for L in (320, 360, 256, 100):
+        x = np.random.default_rng(0).normal(size=(2, L, 5)).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool1d(jnp.asarray(x), 128))
+        ref = torch.nn.AdaptiveAvgPool1d(128)(
+            torch.tensor(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
+        assert np.abs(ours - ref).max() < 1e-5, L
