@@ -10,18 +10,33 @@ overhead — the deployment shape for a production stream. Timing is
 chained + host-fetched (honest under async relays). ``vs_baseline`` =
 value / 5000 (the >=5k frames/sec/chip north star; the torch reference
 records no throughput at all — BASELINE.md).
+
+Resilience: the TPU tunnel is known to fail two ways — backend init
+raising UNAVAILABLE, and full wedges where every dispatch *hangs*
+(round-3 capture died to the former; see PROGRESS.md). A same-process
+try/except cannot recover a hang, so the measurement runs in a child
+process the parent can kill: bounded attempts with backoff, and a clean
+JSON error line (rc=1) if the backend never comes up.
+
+Tunables (env): PAUTDX_BENCH_ATTEMPTS (default 3),
+PAUTDX_BENCH_ATTEMPT_TIMEOUT seconds (default 900, first compile on the
+relay can take minutes), PAUTDX_BENCH_BACKOFF seconds (default 120,
+doubles per retry — the relay needs ~2 min after a wedge before a fresh
+client can connect).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
 
-import jax
-import jax.numpy as jnp
+def run_bench():
+    """The actual measurement (child process). Prints the JSON line."""
+    import jax
+    import jax.numpy as jnp
 
-
-def main():
     # persistent compile cache: repeat bench runs skip the (minutes-long)
     # remote compiles when the backend supports it
     try:
@@ -71,6 +86,61 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 5000.0, 4),
     }))
+
+
+def main():
+    if os.environ.get("PAUTDX_BENCH_CHILD"):
+        run_bench()
+        return
+
+    attempts = int(os.environ.get("PAUTDX_BENCH_ATTEMPTS", "3"))
+    attempt_timeout = float(os.environ.get("PAUTDX_BENCH_ATTEMPT_TIMEOUT", "900"))
+    backoff = float(os.environ.get("PAUTDX_BENCH_BACKOFF", "120"))
+
+    env = dict(os.environ, PAUTDX_BENCH_CHILD="1")
+    last_err = "no attempts ran"
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=attempt_timeout,
+                capture_output=True, text=True)
+            # the JSON line is the last stdout line that parses with the
+            # contract keys (relay/jax warnings land on stderr, but be
+            # defensive about stray stdout noise too)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if isinstance(rec, dict) and "metric" in rec and "value" in rec:
+                    print(line)
+                    return
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            last_err = (f"attempt {attempt}: child rc={proc.returncode}, "
+                        f"no JSON line; tail: " + " | ".join(tail[-4:]))
+        except subprocess.TimeoutExpired:
+            # a wedge: every dispatch in the child hangs. The kill (by
+            # subprocess, never by pattern) is the documented recovery;
+            # the relay needs a couple of minutes before a fresh client
+            # can connect, which the backoff below provides.
+            last_err = (f"attempt {attempt}: child hung "
+                        f">{attempt_timeout:.0f}s (relay wedge?), killed")
+        print(f"bench: {last_err}", file=sys.stderr)
+        if attempt < attempts:
+            sleep_s = backoff * (2 ** (attempt - 1))
+            print(f"bench: backing off {sleep_s:.0f}s before retry",
+                  file=sys.stderr)
+            time.sleep(sleep_s)
+
+    # permanently down: one clean machine-readable error line, rc=1 —
+    # never a fake value the driver could record as a measurement
+    print(json.dumps({
+        "metric": "dfine_nano_640px_inference",
+        "error": last_err,
+        "unit": "frames/sec/chip",
+    }))
+    sys.exit(1)
 
 
 if __name__ == "__main__":

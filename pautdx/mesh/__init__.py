@@ -19,7 +19,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("dp",),
               devices: Optional[Sequence] = None) -> Mesh:
-    """1D (or reshaped N-D) mesh over the first ``n_devices`` devices."""
+    """1D (or reshaped 2D) mesh over the first ``n_devices`` devices.
+
+    With two axis names the device array is the BALANCED split
+    ``(n // minor, minor)`` where ``minor`` is the largest divisor of n
+    that is <= sqrt(n) — e.g. 8 devices as ('dp', 'tp') give a (4, 2)
+    mesh with REAL tensor-parallel sharding on the second axis, not a
+    trivial (n, 1). Callers that want a specific topology should pass
+    ``devices`` pre-reshaped or build the ``Mesh`` directly
+    (``pautdx.mesh.tp.mesh_2d`` covers explicit (dp, tp) shapes).
+    """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]

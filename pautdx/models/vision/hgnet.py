@@ -218,6 +218,13 @@ class _S2DProj(nn.Module):
     def __call__(self, x):
         p, f = self.patch, self.features
         B, H, W, C = x.shape
+        if H % p or W % p:
+            # the nn.Conv path would silently SAME-pad odd sizes; here the
+            # reshape below would fail with an opaque shape error instead
+            raise ValueError(
+                f"space-to-depth stem requires input H/W divisible by the "
+                f"patch size {p}, got {H}x{W}; pad the input or use the "
+                f"conv stem (stem_s2d=False)")
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (p, p, C, f))
         x = x.reshape(B, H // p, p, W // p, p, C)

@@ -10,12 +10,15 @@ cached — same flexibility, no ONNX runtime.
 from __future__ import annotations
 
 import bisect
+import logging
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+_log = logging.getLogger("pautdx.serve")
 
 _OVERFLOW_FACTOR = 8
 
@@ -62,6 +65,36 @@ class SignalEndpoint:
         self.signal_buckets = sorted(signal_buckets)
         self.threshold = threshold
         self._compiled: Dict = {}
+        # overflow observability (operators should notice misconfigured
+        # buckets): new-bucket compiles are warned once each and counted;
+        # the extended bucket is memoized into signal_buckets so repeat
+        # oversized requests take the bisect fast path. The overflow cap
+        # stays anchored at the CONFIGURED maximum.
+        self._configured_max_signals = self.signal_buckets[-1]
+        self.overflow_buckets_compiled = 0
+
+    def _signal_bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self.signal_buckets, n)
+        if i < len(self.signal_buckets):
+            return self.signal_buckets[i]
+        cap_base = self._configured_max_signals
+        b = cap_base
+        while b < n:
+            b *= 2
+        if b > cap_base * _OVERFLOW_FACTOR:
+            raise ValueError(
+                f"request size {n} exceeds the overflow cap "
+                f"({cap_base} * {_OVERFLOW_FACTOR}); raise the "
+                f"configured buckets for workloads of this size")
+        self.overflow_buckets_compiled += 1
+        _log.warning(
+            "SignalEndpoint num_signals overflow: request %d > largest "
+            "configured bucket %d — compiling new %d-bucket on the "
+            "serving path (%d overflow compiles so far); raise "
+            "signal_buckets if this workload is routine",
+            n, cap_base, b, self.overflow_buckets_compiled)
+        bisect.insort(self.signal_buckets, b)   # memoize: repeats bisect-hit
+        return b
 
     def _forward(self):
         model, variables = self.model, self.variables
@@ -86,7 +119,7 @@ class SignalEndpoint:
             return {k: np.concatenate([p[k] for p in parts])
                     for k in parts[0]}
         Bp = _bucket(B, self.batch_buckets)
-        Np = _bucket(N, self.signal_buckets)
+        Np = self._signal_bucket(N)
         padded = np.zeros((Bp, Np, S), np.float32)
         padded[:B, :N] = signals
         if "fwd" not in self._compiled:

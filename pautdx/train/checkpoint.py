@@ -73,8 +73,24 @@ class CheckpointManager:
         else:
             step = int(which)
         path = os.path.join(self.directory, f"step_{step}")
-        state = self._ckptr.restore(path, target) if target is not None \
-            else self._ckptr.restore(path)
+        try:
+            state = self._ckptr.restore(path, target) if target is not None \
+                else self._ckptr.restore(path)
+        except ValueError as e:
+            if "shape" not in str(e).lower():
+                raise
+            # a raw orbax shape error usually means model-config drift
+            # between save and restore — e.g. the Ultralytics
+            # max_channels width clamp (round 3) changed m-scale YOLO
+            # channel widths, so older m-scale checkpoints no longer fit
+            # the current module tree. metadata.json persists the config
+            # (flavour/scale for YOLO) so the mismatch is diagnosable.
+            raise ValueError(
+                f"checkpoint {path} does not match the target's parameter "
+                f"shapes — the model config likely changed between save "
+                f"and restore; compare {self.directory}/metadata.json "
+                f"against the config you are restoring into. "
+                f"Original error: {e}") from e
         meta_path = os.path.join(self.directory, "metadata.json")
         metadata = {}
         if os.path.exists(meta_path):

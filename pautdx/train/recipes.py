@@ -110,6 +110,52 @@ RECIPES: Dict[str, Recipe] = {
 
 
 @dataclasses.dataclass(frozen=True)
+class SNRCurriculum:
+    """SNR curriculum: converge on a high-SNR tier first, then fine-tune
+    on the (low-SNR) target tier.
+
+    The round-3 training-dynamics finding (PROGRESS.md, SIGNAL_BASELINE
+    sweep): per-signal BCE trained COLD on echoes at/below the noise
+    floor pins at the chance-BCE floor for all epochs — plateau decay
+    then locks the lr down before the weak-echo gradient is ever found
+    (hard tier: accuracy 0.8322 all-negative, AUC 0.538). A few epochs
+    of high-SNR pretraining teach the echo template, which transfers
+    below the noise floor: hard-tier AUC 0.538 -> 0.920, F1 0 -> 0.72
+    (SIGNAL_BASELINE.json ``hard_curriculum``). The reference trains
+    each difficulty once from scratch and has no equivalent
+    (`signals/improved_multisignal/train_detection.py:96-216`); this is
+    new capability.
+
+    ``run`` chains two ``Trainer.fit`` stages over the same state.
+    ``pretrain``/``target`` are ``(train_batches_fn, val_batches_fn)``
+    pairs as ``Trainer.fit`` takes them; ``plateau_factory`` builds a
+    FRESH controller per stage (the controller is stateful — reusing one
+    would carry the easy tier's best-loss into the hard tier and decay
+    the lr immediately).
+    """
+
+    pretrain_epochs: int = 4
+    epochs: int = 20
+
+    def run(self, trainer, state, pretrain, target, *,
+            plateau_factory: Optional[Callable] = None,
+            log: Callable[[str], None] = print, **fit_kwargs):
+        pre_tr, pre_va = pretrain
+        tgt_tr, tgt_va = target
+        if self.pretrain_epochs > 0:
+            log(f"curriculum: {self.pretrain_epochs} high-SNR pretrain "
+                f"epochs")
+            state = trainer.fit(
+                state, pre_tr, pre_va, epochs=self.pretrain_epochs,
+                plateau=plateau_factory() if plateau_factory else None,
+                log=log, **fit_kwargs)
+        return trainer.fit(
+            state, tgt_tr, tgt_va, epochs=self.epochs,
+            plateau=plateau_factory() if plateau_factory else None,
+            log=log, **fit_kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
 class HybridPhases:
     """The 3-phase HybridModel schedule (`train_hybrid.py:93-106`):
     phase 1 trains detection only, phase 2 freezes detection and trains

@@ -111,6 +111,12 @@ def test_patchify_s2d_matches_conv():
     for a, b in zip(m_conv.apply(v, x, train=False),
                     m_s2d.apply(v, x, train=False)):
         assert jnp.abs(a - b).max() == 0.0
+    # non-divisible inputs fail with a CLEAR error (ADVICE r3): the conv
+    # path silently SAME-pads; the s2d reshape cannot
+    import pytest
+    bad = jnp.zeros((1, 63, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divisible by the patch size"):
+        m_s2d.init({"params": jax.random.PRNGKey(2)}, bad, train=False)
 
 
 def test_dfine_nano_stride8_forward():

@@ -125,6 +125,17 @@ def test_signal_endpoint_overflow_buckets():
     # chunking must agree with per-sample predictions
     single = ep.predict(big[:1])
     np.testing.assert_allclose(out["prob"][:1], single["prob"], rtol=1e-5)
+    # overflow observability (ADVICE r3): the compile was counted, and the
+    # new bucket was memoized so a repeat oversized request bisect-hits
+    # instead of re-entering (and re-logging) the overflow path
+    assert ep.overflow_buckets_compiled == 1
+    assert 100 in ep.signal_buckets
+    ep.predict(sig)
+    assert ep.overflow_buckets_compiled == 1
+    # the cap stays anchored at the CONFIGURED max (50*8), not the
+    # memoized overflow bucket
+    with np.testing.assert_raises(ValueError):
+        ep.predict(rng.normal(size=(1, 50 * 8 + 1, 64)).astype(np.float32))
 
 
 def test_int8_weight_quantization_roundtrip_and_outputs():

@@ -108,29 +108,25 @@ def train_and_eval(name, model, train_ds, test_ds, epochs, batch, lr, out,
     def log(msg):
         print(f"  [{name}] {msg} ({time.time() - t0:.0f}s)", flush=True)
 
+    # SNR curriculum is a first-class recipe (pautdx.train.recipes) —
+    # the rationale and measured hard-tier rescue live in its docstring
+    from pautdx.train.recipes import SNRCurriculum
+
     if pretrain_ds is not None:
-        # SNR curriculum: converge on the high-SNR tier first, then
-        # fine-tune down the ladder — per-signal BCE trained cold on
-        # sub-noise-floor echoes pins at the chance floor (see the
-        # 'hard'/'medium' cliff in PROGRESS.md)
         ptr, pva = train_val_split(defect_focused(pretrain_ds), 0.2,
                                    seed=42)
         print(f"  [{name}] curriculum pretrain on {len(ptr)} high-SNR "
               f"windows", flush=True)
-        state = trainer.fit(
-            state,
-            lambda: BatchIterator(ptr, batch, seed=next(seed_it)),
-            lambda: BatchIterator(pva, batch, seed=0),
-            epochs=pretrain_epochs,
-            plateau=ReduceLROnPlateau(factor=0.7, patience=2),
-            log=log)
-
-    state = trainer.fit(
-        state,
-        lambda: BatchIterator(tr, batch, seed=next(seed_it)),
-        lambda: BatchIterator(va, batch, seed=0),
-        epochs=epochs,
-        plateau=ReduceLROnPlateau(factor=0.7, patience=2),
+        pre = (lambda: BatchIterator(ptr, batch, seed=next(seed_it)),
+               lambda: BatchIterator(pva, batch, seed=0))
+        n_pre = pretrain_epochs
+    else:
+        pre, n_pre = (None, None), 0
+    state = SNRCurriculum(pretrain_epochs=n_pre, epochs=epochs).run(
+        trainer, state, pre,
+        (lambda: BatchIterator(tr, batch, seed=next(seed_it)),
+         lambda: BatchIterator(va, batch, seed=0)),
+        plateau_factory=lambda: ReduceLROnPlateau(factor=0.7, patience=2),
         log=log)
 
     variables = {"params": state.params}
