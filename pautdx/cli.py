@@ -384,6 +384,16 @@ def _cmd_predict_bscan(args) -> None:
     print(f"detections for {len(results)} sequences in {args.out}")
 
 
+def _cmd_explain(args) -> None:
+    """Animated HTML explainers of the PAUT pipeline — the reference's
+    manim video suite (`visualization/README.md`) re-rendered as
+    dependency-free browser animations (`pautdx.viz.explain`)."""
+    from pautdx.viz.explain import build_explainers
+
+    for p in build_explainers(args.out):
+        print(p)
+
+
 def _cmd_inspect(args) -> None:
     """Interactive HTML inspector — the reference's PyQt6 QA apps
     (`display_defects.py`, `signal_visualizer.py`, `model_tester.py`)
@@ -757,6 +767,11 @@ def main(argv=None) -> None:
         choices=("v8", "v5", "v9c", "v11"))
     ins.add_argument("--threshold", type=float, default=0.3)
     ins.set_defaults(fn=_cmd_inspect)
+
+    xp = sub.add_parser("explain")
+    xp.add_argument("--out", default="explainers",
+                    help="output directory for the animated HTML scenes")
+    xp.set_defaults(fn=_cmd_explain)
 
     ex = sub.add_parser("export")
     ex.add_argument("--checkpoint", required=True)

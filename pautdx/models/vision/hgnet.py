@@ -230,8 +230,17 @@ class _S2DProj(nn.Module):
         x = x.reshape(B, H // p, p, W // p, p, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
             B, H // p, W // p, p * p * C)
-        # no explicit cast: dtype promotion matches the nn.Conv path
-        # (bf16 serving casts the kernel to bf16 with every other param)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # raw-uint8 serving (fold_uint8_stem): the patch reshape/
+            # transpose above moved 1-byte elements (4x less HBM traffic
+            # than bf16) and the convert lands HERE, where XLA fuses it
+            # into the matmul's operand load — no dequantized image is
+            # ever materialized. The 1/255 scale lives pre-folded in the
+            # kernel, so u8 @ (K/255) == (u8/255) @ K exactly.
+            x = x.astype(kernel.dtype)
+        # otherwise no explicit cast: dtype promotion matches the nn.Conv
+        # path (bf16 serving casts the kernel to bf16 with every other
+        # param)
         return x @ kernel.reshape(p * p * C, f)
 
 

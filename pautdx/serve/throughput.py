@@ -19,26 +19,82 @@ import jax
 import jax.numpy as jnp
 
 
-def make_streaming_forward(apply_fn: Callable) -> Callable:
+def make_streaming_forward(apply_fn: Callable,
+                           raw_uint8: bool = False) -> Callable:
     """apply_fn(images) -> (logits, boxes). Returns jitted
     ``stream(variables-free slab, carry) -> (logits_last, boxes_last, carry)``
-    scanning over the leading axis."""
+    scanning over the leading axis.
+
+    ``raw_uint8``: feed integer slabs STRAIGHT into ``apply_fn`` without
+    the explicit dequantize — for models whose stem consumes uint8
+    natively (``fold_uint8_stem``: the space-to-depth patchify moves
+    1-byte elements and the 1/255 scale is pre-folded into the stem
+    kernel). Cuts the dequantized-image HBM round-trip out of the
+    serving graph entirely.
+    """
 
     def stream(slab: jnp.ndarray, carry: jnp.ndarray):
         def body(c, images):
             x = images
-            if jnp.issubdtype(x.dtype, jnp.integer):
+            if jnp.issubdtype(x.dtype, jnp.integer) and not raw_uint8:
                 # uint8 wire format (the deployment contract: B-scan
                 # frames are 8-bit images): dequantize on device — 4x
                 # less HBM traffic on the biggest tensor in the graph
                 x = x.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
-            logits, boxes = apply_fn(x + c * 0.0)
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                # carry-chaining without leaving uint8
+                x = x + (c * 0.0).astype(x.dtype)
+            else:
+                x = x + c * 0.0
+            logits, boxes = apply_fn(x)
             return logits.astype(jnp.float32).mean().astype(c.dtype), \
                 (logits, boxes)
         carry, (logits, boxes) = jax.lax.scan(body, carry, slab)
         return logits[-1], boxes[-1], carry
 
     return jax.jit(stream)
+
+
+def fold_uint8_stem(variables, *, scale: float = 1.0 / 255.0,
+                    stem_path: Tuple[str, ...] = (
+                        "model.backbone.model", "patch_embedder", "proj",
+                        "kernel")):
+    """Fold the input dequantization scale into the stem's proj kernel.
+
+    With a space-to-depth stem (``HGNetConfig.stem_s2d``) the patchify is
+    exactly ``patches @ kernel``, so ``(u8 / 255) @ K == u8 @ (K / 255)``
+    — folding the scale lets the serving graph consume RAW uint8 frames:
+    the patch reshape/transpose moves 1-byte elements and the bf16
+    convert fuses into the matmul operand load (no dequantized image in
+    HBM). The stem's BatchNorm sees identical pre-norm activations, so
+    outputs match the dequantize-first path up to bf16 rounding of the
+    kernel scale.
+
+    Returns a new variables pytree; raises KeyError (with the available
+    keys) if the stem path is absent — e.g. a conv-stem config, which
+    cannot consume uint8.
+    """
+    params = variables["params"]
+
+    def rebuild(tree, path):
+        if path[0] not in tree:
+            raise KeyError(
+                f"fold_uint8_stem: '{path[0]}' not found on path "
+                f"{stem_path}; available: {sorted(tree.keys())[:12]} — "
+                f"raw-uint8 serving requires the space-to-depth patchify "
+                f"stem (HGNetConfig.stem_s2d)")
+        new = dict(tree)
+        if len(path) == 1:
+            kernel = tree[path[0]]
+            new[path[0]] = (kernel.astype(jnp.float32) * scale
+                            ).astype(kernel.dtype)
+        else:
+            new[path[0]] = rebuild(tree[path[0]], path[1:])
+        return new
+
+    out = dict(variables)
+    out["params"] = rebuild(params, list(stem_path))
+    return out
 
 
 def make_uint8_slab(shape: Tuple[int, ...], seed: int = 0) -> jnp.ndarray:

@@ -133,10 +133,18 @@ def test_dfine_quality_gate(easy_frames):
     assert m >= 0.6, f"D-FINE quality gate failed: mAP@0.5={m:.3f}"
 
 
-def test_yolo_quality_gate(easy_frames):
+@pytest.mark.parametrize("flavour,steps", [
+    # all four reference-matched flavours must LEARN TO DETECT, not
+    # merely decrease loss (VERDICT r3 item 4). Steps are per-flavour:
+    # v9c is the unscaled 25M-param GELAN (`yolov9c.yaml` has no n-scale)
+    # and converges to 1.0 on these fixtures in 150 steps (measured),
+    # so it gets a shorter schedule to keep the CPU suite tractable.
+    ("v8", 450), ("v5", 450), ("v9c", 150), ("v11", 450),
+])
+def test_yolo_quality_gate(easy_frames, flavour, steps):
     images, boxes_px, classes, mask = easy_frames
     n = images.shape[0]
-    cfg = YoloConfig(num_classes=1, scale="n")
+    cfg = YoloConfig(num_classes=1, scale="n", flavour=flavour)
     model = YOLO(cfg)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, IMG, IMG, 3)), train=False)
@@ -145,7 +153,8 @@ def test_yolo_quality_gate(easy_frames):
     has_bs = bool(jax.tree_util.tree_leaves(batch_stats))
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(optax.warmup_cosine_decay_schedule(0, 2e-3, 30, 450, 1e-5),
+        optax.adamw(optax.warmup_cosine_decay_schedule(0, 2e-3, 30, steps,
+                                                       1e-5),
                     weight_decay=1e-4))
     opt_state = opt.init(params)
 
@@ -169,7 +178,7 @@ def test_yolo_quality_gate(easy_frames):
         return optax.apply_updates(params, updates), bs, opt_state, loss
 
     rng = np.random.default_rng(0)
-    for i in range(450):
+    for i in range(steps):
         idx = rng.choice(n, 8, replace=False)
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, jnp.asarray(images[idx]),
@@ -195,7 +204,13 @@ def test_yolo_quality_gate(easy_frames):
     assert m >= 0.6, f"YOLO quality gate failed: mAP@0.5={m:.3f}"
 
 
-def test_yolo_seg_quality_gate(easy_frames):
+@pytest.mark.parametrize("flavour,steps", [
+    # v8-seg (the default) and v9c-seg — the reference's segmentation
+    # training targets yolov9c-seg (`BscanBased/yolo_seg_train.py:5-19`).
+    # Per-flavour steps as in the det gate (v9c is the unscaled GELAN).
+    ("v8", 450), ("v9c", 180),
+])
+def test_yolo_seg_quality_gate(easy_frames, flavour, steps):
     """Mask-quality gate (VERDICT r2 weak item 6): YOLO-seg must reach
     nontrivial mask mAP@0.5, not merely decrease its seg loss. GT masks
     are filled rectangles from the defect boxes — exactly what the
@@ -216,14 +231,14 @@ def test_yolo_seg_quality_gate(easy_frames):
                 gt_masks[i, j] = rasterize_boxes(
                     boxes_px[i, j:j + 1] / 4.0, (Hp, Hp), value=1.0)
 
-    cfg = YoloConfig(num_classes=1, scale="n", seg=True)
+    cfg = YoloConfig(num_classes=1, scale="n", flavour=flavour, seg=True)
     model = YOLO(cfg)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, IMG, IMG, 3)), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(optax.warmup_cosine_decay_schedule(0, 2e-3, 30, 450, 1e-5),
+        optax.adamw(optax.warmup_cosine_decay_schedule(0, 2e-3, 30, steps, 1e-5),
                     weight_decay=1e-4))
     opt_state = opt.init(params)
 
@@ -243,7 +258,7 @@ def test_yolo_seg_quality_gate(easy_frames):
 
     key = jax.random.PRNGKey(1)
     rng = np.random.default_rng(0)
-    for i in range(450):
+    for i in range(steps):
         idx = rng.choice(n, 8, replace=False)
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = step(

@@ -62,3 +62,60 @@ def test_streaming_forward_uint8_wire():
     np.testing.assert_allclose(np.asarray(logits_u8),
                                np.asarray(logits_f32), rtol=2e-2, atol=2e-2)
     assert measure_fps(stream, jnp.asarray(u8), n_calls=1) > 0
+
+
+def test_raw_uint8_stem_fold_equivalence():
+    """fold_uint8_stem + raw_uint8 streaming == dequantize-first serving.
+
+    The raw-uint8 path moves 1-byte patches through the s2d stem and
+    folds the 1/255 into the stem kernel (`fold_uint8_stem`); outputs
+    must match the explicit-dequant path to f32 rounding on the real
+    D-FINE nano graph (tiny input so CPU compile stays fast).
+    """
+    import dataclasses
+
+    from pautdx.models.vision.dfine import DFine, dfine_nano
+    from pautdx.serve.throughput import fold_uint8_stem
+
+    cfg = dataclasses.replace(dfine_nano(num_labels=2),
+                              decoder_method="discrete")
+    model = DFine(cfg)
+    img = 64
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, img, img, 3)), train=False)
+
+    def apply_fn_vars(v):
+        def apply_fn(images):
+            out = model.apply(v, images, train=False)
+            return out["logits"], out["pred_boxes"]
+        return apply_fn
+
+    u8 = np.random.default_rng(2).integers(0, 256, (2, 1, img, img, 3),
+                                           dtype=np.uint8)
+    # dequantize-first reference (f32 to isolate the fold from bf16 noise)
+    def deq_apply(images):
+        out = model.apply(variables, images, train=False)
+        return out["logits"], out["pred_boxes"]
+    ref_stream = make_streaming_forward(lambda x: deq_apply(
+        x.astype(jnp.float32)))
+    lr, br, _ = ref_stream(jnp.asarray(u8.astype(np.float32) / 255.0),
+                           jnp.zeros((), jnp.float32))
+
+    folded = fold_uint8_stem(variables)
+    raw_stream = make_streaming_forward(apply_fn_vars(folded),
+                                        raw_uint8=True)
+    lu, bu, carry = raw_stream(jnp.asarray(u8), jnp.zeros((), jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(lu, np.float32),
+                               np.asarray(lr, np.float32),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bu, np.float32),
+                               np.asarray(br, np.float32),
+                               rtol=2e-3, atol=2e-3)
+    assert np.isfinite(float(carry))
+    # conv-stem configs cannot consume uint8: loud error, not silence
+    import pytest
+    cfg_conv = dfine_nano(num_labels=2, tpu_stem=False, stride8_stem=False)
+    v_conv = DFine(cfg_conv).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, img, img, 3)), train=False)
+    with pytest.raises(KeyError, match="space-to-depth"):
+        fold_uint8_stem(v_conv)

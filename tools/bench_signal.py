@@ -213,11 +213,15 @@ def main():
                        pretrain_ds=pretrain_ds)
 
     if args.tier != "reference" and os.path.exists(args.out):
-        # non-reference tiers nest under the tier name in the artifact
+        # non-reference tiers nest under the tier name in the artifact;
+        # UPDATE the tier dict rather than replace it, so per-model runs
+        # (--models hybrid_binary after a complex run) accumulate
         with open(args.out) as f:
             merged = json.load(f)
         key = (f"{args.tier}_curriculum" if args.curriculum else args.tier)
-        merged[key] = results
+        tier_entry = merged.get(key, {})
+        tier_entry.update(results)
+        merged[key] = tier_entry
         results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -20,23 +20,25 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(cfg, img, batch, n_steps=8):
+def measure(cfg, img, batch, n_steps=8, raw_uint8=False):
     from pautdx.models.vision.dfine import DFine
     from pautdx.serve.throughput import (
-        cast_params_bf16, make_streaming_forward, make_uint8_slab,
-        measure_fps,
+        cast_params_bf16, fold_uint8_stem, make_streaming_forward,
+        make_uint8_slab, measure_fps,
     )
 
     model = DFine(cfg)
     variables = cast_params_bf16(jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
         train=False))(jax.random.PRNGKey(0)))
+    if raw_uint8:
+        variables = fold_uint8_stem(variables)
 
     def apply_fn(images):
         out = model.apply(variables, images, train=False)
         return out["logits"], out["pred_boxes"]
 
-    stream = make_streaming_forward(apply_fn)
+    stream = make_streaming_forward(apply_fn, raw_uint8=raw_uint8)
     slab = make_uint8_slab((n_steps, batch, img, img, 3))
     return measure_fps(stream, slab, n_calls=3)
 
@@ -71,6 +73,11 @@ def main():
         fps = measure(cfg, img, batch)
         out[name] = round(fps, 1)
         print(f"{name}: {fps:.1f} fps", flush=True)
+    # raw-uint8 serving (fold_uint8_stem): u8 patches straight into the
+    # stem matmul — no dequantized bf16 image round-trip through HBM
+    fps = measure(variants["tanh+s2d"], img, batch, raw_uint8=True)
+    out["tanh+s2d+raw_u8"] = round(fps, 1)
+    print(f"tanh+s2d+raw_u8: {fps:.1f} fps", flush=True)
     print(json.dumps(out))
 
 
