@@ -211,7 +211,7 @@ def train(cfg, data, steps, batch, lr=2.5e-4, log_every=100,
 
 
 def eval_jax(model, variables, data, batch=16, serving_cfg=None,
-             threshold=0.05, uint8_input=False):
+             threshold=0.05, uint8_input=False, uint8_raw=False):
     """mAP@0.5 of a JAX model on (images, boxes, classes, mask).
 
     serving_cfg: optional DFineConfig to re-instantiate the model in a
@@ -219,19 +219,27 @@ def eval_jax(model, variables, data, batch=16, serving_cfg=None,
     uint8_input: quantize frames to uint8 before upload and dequantize on
     device (the production serving contract: B-scan frames arrive as
     uint8 images, mirroring the reference's PNG pipeline).
+    uint8_raw: uint8 frames consumed NATIVELY by the model (1/255 folded
+    into the s2d stem kernel — `pautdx.serve.throughput.fold_uint8_stem`);
+    quality at the raw-uint8 serving graph exactly as benched.
     """
     from pautdx.eval import evaluate_map
     from pautdx.models.vision.dfine import DFine, post_process
 
     if serving_cfg is not None:
         model = DFine(serving_cfg)
+    if uint8_raw:
+        from pautdx.serve.throughput import fold_uint8_stem
+
+        variables = fold_uint8_stem(variables)
+        uint8_input = True
     images, gt_boxes, gt_classes, gt_mask = data
     n = images.shape[0]
 
     @jax.jit
     def infer(v, data, a):
         im = jax.lax.dynamic_slice_in_dim(data, a, batch, axis=0)
-        if uint8_input:
+        if uint8_input and not uint8_raw:
             im = im.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
         out = model.apply(v, im, train=False)
         return post_process(out["logits"], out["pred_boxes"], (IMG, IMG),
@@ -863,6 +871,13 @@ def main():
                          "(delete it to force a fresh run)")
     args = ap.parse_args()
 
+    # honor JAX_PLATFORMS even under the axon sitecustomize, which
+    # otherwise overrides the env var (tests hit the same thing —
+    # conftest forces the platform via jax.config for that reason).
+    # Needed for the --quick CPU smoke.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/pautdx_jax_cache_tpu")
@@ -956,13 +971,17 @@ def run_nano(args, cfgs, train_data, val_data, results, dump):
                        serving_cfg=serving)
     m_serve_u8 = eval_jax(model, to_bf16(variables), val_data,
                           serving_cfg=serving, uint8_input=True)
+    m_serve_raw = eval_jax(model, to_bf16(variables), val_data,
+                           serving_cfg=serving, uint8_raw=True)
     print(f"    JAX mAP@0.5 f32/bilinear = {m_train:.4f}; "
           f"serving bf16/discrete/shared = {m_serve:.4f}; "
-          f"uint8-input serving = {m_serve_u8:.4f}", flush=True)
+          f"uint8-input serving = {m_serve_u8:.4f}; "
+          f"raw-uint8 (folded stem) = {m_serve_raw:.4f}", flush=True)
     results["nano"] = {"steps": args.steps,
                        "jax_map50_f32_bilinear": m_train,
                        "jax_map50_serving_bf16_discrete": m_serve,
-                       "jax_map50_serving_uint8_input": m_serve_u8}
+                       "jax_map50_serving_uint8_input": m_serve_u8,
+                       "jax_map50_serving_uint8_raw": m_serve_raw}
 
 
 if __name__ == "__main__":
