@@ -23,6 +23,20 @@ Rules (path regex -> PartitionSpec), applied to any flax param tree:
   them is per-channel elementwise, so the partitioner slices its
   replicated (C,) vectors locally and the only collective is the psum
   of the row conv's output (classic Megatron pair, conv edition).
+- MLP prediction heads (``MLPHead``: bbox_embed / query_pos_head /
+  pre_bbox_head / enc_bbox_head / reg_conf): ``layers.0`` column- and
+  ``layers.1`` row-parallel — the first two Linears of every head form
+  a Megatron pair (3-layer heads keep their final Linear replicated).
+- decoder ``gateway/gate``: column-parallel single Dense (its sigmoid
+  consumer needs the full width, so GSPMD all-gathers once — taken for
+  the weight-byte sharding, the usual tp memory win).
+- encoder CSP bottleneck chains (``bottlenecks.0`` -> ``bottlenecks.1``
+  RepVgg blocks): block 0's parallel 3x3/1x1 convs column-parallel on
+  C_out, block 1's row-parallel on C_in — consecutive RepVgg blocks
+  chain like a Megatron pair; the BN after a row conv runs on the
+  already-psum'd full output (GSPMD inserts the all-reduce at the
+  contraction). Deeper blocks (``bottlenecks.2+``) stay replicated so
+  the chain hands a full tensor back to the residual join.
 - everything else (remaining convs, norms, embeddings, heads):
   replicated. Measured coverage on ``dfine_nano``: :func:`tp_coverage`
   reports the sharded fraction of parameter bytes — cite that number,
@@ -57,6 +71,21 @@ def _rules(tp: str):
         (re.compile(r"aggregation\.0/convolution/kernel$"),
          P(None, None, None, tp)),
         (re.compile(r"aggregation\.1/convolution/kernel$"),
+         P(None, None, tp, None)),
+        # MLPHead pair: layers.0 col -> layers.1 row. Component-anchored
+        # so transformer modules named "model.decoder.layers.N" (one path
+        # component, no leading slash before "layers") never match.
+        (re.compile(r"(?:^|/)layers\.0/kernel$"), P(None, tp)),
+        (re.compile(r"(?:^|/)layers\.0/bias$"), P(tp)),
+        (re.compile(r"(?:^|/)layers\.1/kernel$"), P(tp, None)),
+        # decoder fusion gate: single col-parallel Dense
+        (re.compile(r"(?:^|/)gateway/gate/kernel$"), P(None, tp)),
+        (re.compile(r"(?:^|/)gateway/gate/bias$"), P(tp)),
+        # encoder CSP bottleneck chain: RepVgg block 0 col / block 1 row
+        # (conv kernels are HWIO; conv1 is the 3x3, conv2 the 1x1 branch)
+        (re.compile(r"bottlenecks\.0/conv[12]/conv/kernel$"),
+         P(None, None, None, tp)),
+        (re.compile(r"bottlenecks\.1/conv[12]/conv/kernel$"),
          P(None, None, tp, None)),
     ]
 

@@ -142,3 +142,57 @@ def test_tp_matmul_chain_matches_replicated():
         sharded, jax.device_put(x, NamedSharding(mesh, P("dp"))))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dfine_full_model_tp_forward_matches_replicated():
+    """Round-4 widened rules (MLPHead pairs, gateway gate, CSP bottleneck
+    chains): the FULL tiny D-FINE forward under tp sharding must equal
+    the replicated forward, and the widened rules must cover >60% of
+    dfine_nano's parameter bytes (was 42% with the round-3 rules)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    import dataclasses
+
+    from pautdx.models.vision.dfine import DFine, DFineConfig, dfine_nano
+    from pautdx.models.vision.hgnet import HGNetConfig
+
+    cfg = DFineConfig(
+        num_labels=2, d_model=64, encoder_hidden_dim=64, decoder_layers=2,
+        decoder_attention_heads=4, encoder_attention_heads=4,
+        decoder_ffn_dim=128, encoder_ffn_dim=128, num_queries=16,
+        max_num_bins=16, hidden_expansion=0.5,
+        backbone=HGNetConfig(
+            stem_channels=(3, 8, 8), stage_in_channels=(8, 16, 32, 64),
+            stage_mid_channels=(8, 8, 16, 32),
+            stage_out_channels=(16, 32, 64, 128),
+            stage_num_blocks=(1, 1, 1, 1), stage_num_layers=(1, 1, 2, 2)),
+    )
+    model = DFine(cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 64, 64, 3)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+    want = model.apply(variables, x, train=False)
+
+    mesh = mesh_2d(8, tp=2)
+    psh = tp_shardings(variables["params"], mesh)
+    params_sh = jax.tree_util.tree_map(jax.device_put,
+                                       variables["params"], psh)
+    xsh = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p,
+                            "batch_stats": variables["batch_stats"]},
+                           x, train=False)
+
+    got = fwd(params_sh, xsh)
+    for k in ("logits", "pred_boxes"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=5e-4, atol=5e-4)
+
+    # pin the honest coverage number on the real nano preset
+    nano = DFine(dfine_nano(num_labels=2))
+    nv = nano.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 128, 128, 3)), train=False)
+    assert tp_coverage(nv["params"], tp_size=2) > 0.6
