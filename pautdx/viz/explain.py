@@ -466,12 +466,113 @@ function draw(t) {
     return out_path
 
 
+def build_position(out_path: str, seed: int = 7) -> str:
+    """Position prediction: from a defect-bearing A-scan to a predicted
+    (start, end) depth interval. The probability curve is the REAL
+    normalized short-window energy of the generated signal (the matched-
+    filter statistic the position heads learn to approximate); the
+    predicted interval is its threshold crossing, scored against the GT
+    interval with 1-D IoU — the exact quantity `pautdx.eval.iou`
+    evaluates at IoU@t. (`signal_processing_animation.py` scene 6)"""
+    spec, defects, vol = _demo_volume(seed)
+    d = defects[0]
+    beam = (d.beam_start + d.beam_end) // 2
+    scan = (d.scan_start + d.scan_end) // 2
+    sig = vol[beam, scan].astype(np.float64)
+    N = sig.size
+    # short-window energy, normalized — the matched-filter statistic
+    w = 7
+    pad = np.pad(sig ** 2, (w // 2, w // 2))
+    energy = np.convolve(pad, np.ones(w), "valid")[:N]
+    # suppress the wall echoes (outside the inspection gate)
+    lo = int(spec.frontwall_pos * N) + 8
+    hi = int(spec.backwall_pos * N) - 6
+    gated = np.zeros(N)
+    gated[lo:hi] = energy[lo:hi]
+    prob = gated / max(gated.max(), 1e-9)
+    thr = 0.35
+    above = np.nonzero(prob >= thr)[0]
+    pred = ([int(above[0]), int(above[-1])] if above.size
+            else [0, 0])
+    gt = [int(d.depth_start * N), int(d.depth_end * N)]
+    inter = max(0, min(pred[1], gt[1]) - max(pred[0], gt[0]))
+    union = max(pred[1], gt[1]) - min(pred[0], gt[0])
+    data = {"duration_ms": 8000, "N": N,
+            "sig": [round(float(v), 4) for v in sig],
+            "prob": [round(float(v), 4) for v in prob],
+            "thr": thr, "pred": pred, "gt": gt,
+            "iou": round(inter / max(union, 1), 3)}
+    body = ('<canvas id="cv" width="960" height="360"></canvas>'
+            '<div class="legend">top: the A-scan (depth axis) with the '
+            'ground-truth defect interval (green band). bottom: the '
+            'normalized window-energy statistic sweeping in, the '
+            'decision threshold (dashed), and the predicted (start, end) '
+            'interval (blue band) scored with 1-D IoU — what the '
+            'position heads (EnhancedPosition, DetLoc1D, seq detector) '
+            'are trained to output.</div>')
+    js = """
+const cv = document.getElementById('cv').getContext('2d');
+function draw(t) {
+  cv.clearRect(0, 0, 960, 360);
+  const N = DATA.N, X = n => 20 + 920 * n / N;
+  // GT band (both panels)
+  cv.fillStyle = 'rgba(111,209,138,0.18)';
+  cv.fillRect(X(DATA.gt[0]), 10, X(DATA.gt[1]) - X(DATA.gt[0]), 340);
+  // signal trace (top panel)
+  cv.strokeStyle = '#dfe7f1'; cv.beginPath();
+  for (let n = 0; n < N; n++) {
+    const y = 90 - 70 * DATA.sig[n];
+    if (n === 0) cv.moveTo(X(n), y); else cv.lineTo(X(n), y);
+  }
+  cv.stroke();
+  // energy statistic sweeps in with t (bottom panel)
+  const vis = Math.floor(Math.min(1, t / 0.6) * N);
+  cv.strokeStyle = '#ffd34d'; cv.beginPath();
+  for (let n = 0; n < vis; n++) {
+    const y = 330 - 130 * DATA.prob[n];
+    if (n === 0) cv.moveTo(X(n), y); else cv.lineTo(X(n), y);
+  }
+  cv.stroke();
+  let label = 'computing window-energy statistic';
+  if (t > 0.65) {
+    const y = 330 - 130 * DATA.thr;
+    cv.strokeStyle = '#8fa3b8'; cv.setLineDash([6, 5]);
+    cv.beginPath(); cv.moveTo(20, y); cv.lineTo(940, y); cv.stroke();
+    cv.setLineDash([]);
+    label = `threshold ${DATA.thr}`;
+  }
+  if (t > 0.8) {
+    cv.fillStyle = 'rgba(77,163,255,0.25)';
+    cv.fillRect(X(DATA.pred[0]), 200,
+                X(DATA.pred[1]) - X(DATA.pred[0]), 150);
+    cv.fillStyle = '#dfe7f1'; cv.font = '16px system-ui';
+    cv.fillText(`pred [${DATA.pred[0]}, ${DATA.pred[1]}]  vs  ` +
+                `gt [${DATA.gt[0]}, ${DATA.gt[1]}]  ->  ` +
+                `IoU ${DATA.iou}`, 320, 30);
+    label = `1-D IoU = ${DATA.iou}`;
+  }
+  document.getElementById('tlabel').textContent = label;
+}
+"""
+    html_text = _page(
+        "Position prediction — (start, end) intervals from A-scans",
+        "How a defect's depth extent is predicted per signal and scored "
+        "with 1-D IoU@t. The statistic shown is the real window energy "
+        "of a generated defect-bearing A-scan. Reference scene: "
+        "visualization/signal_processing_animation.py (manim).",
+        body, data, js)
+    with open(out_path, "w") as f:
+        f.write(html_text)
+    return out_path
+
+
 _SCENES = {
     "paut_structure.html": build_paut_structure,
     "signal_sequence.html": build_signal_sequence,
     "autogates.html": build_autogates,
     "iou.html": build_iou,
     "pipeline.html": build_pipeline,
+    "position.html": build_position,
 }
 
 
