@@ -19,6 +19,10 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pautdx.ops.qconv import (
+    int8_conv, shared_conv_kernel, sow_calibration, wants_int8,
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class HGNetConfig:
@@ -97,10 +101,19 @@ class ConvLayer(nn.Module):
             pad = ((p, p), (p, p))
         else:
             pad = self.padding
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding=pad,
-                    feature_group_count=self.groups, use_bias=False,
-                    name="convolution")(x)
+        sow_calibration(self, x)
+        if wants_int8(self, train, "convolution"):
+            # activation-int8 serving (pautdx.serve.quantize): same kernel
+            # param, s8 x s8 -> s32 conv, calibrated per-tensor input scale
+            kernel = shared_conv_kernel(self, "convolution")
+            x = int8_conv(x, kernel, strides=(self.stride, self.stride),
+                          padding=pad, groups=self.groups,
+                          in_scale=self.get_variable("quant", "in_scale"))
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride), padding=pad,
+                        feature_group_count=self.groups, use_bias=False,
+                        name="convolution")(x)
         x = nn.BatchNorm(use_running_average=not train,
                          name="normalization")(x)
         if self.act:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 _QKEYS = frozenset(("__q8__", "__s8__"))
@@ -117,6 +118,113 @@ def quantized_bytes(tree: Any) -> Tuple[int, int]:
     for t in dict(tree).values():
         walk(t)
     return stored, dense
+
+
+# ---------------------------------------------------------------------------
+# Activation-side int8 (the lever weight-only int8 is not — see the
+# negative result above): conv sites in the backbone/neck quantize their
+# INPUT with a static calibrated scale and run s8 x s8 -> s32 on the MXU
+# (`pautdx.ops.qconv`, wired into hgnet.ConvLayer / dfine.ConvNorm).
+# Calibration = run representative batches with mutable=["calib"], which
+# makes every conv site sow max|input|; the collection below turns those
+# into the "quant" variables the int8 branch keys on.
+# ---------------------------------------------------------------------------
+
+
+def calibrate_int8(apply_calib, batches) -> Dict:
+    """Collect per-conv-site input scales over calibration batches.
+
+    ``apply_calib(batch)`` must run the model with ``mutable=["calib"]``
+    and return the mutated variables (or the ``(out, mutated)`` pair
+    flax returns), e.g.::
+
+        def apply_calib(images):
+            return model.apply(variables, images, train=False,
+                               mutable=["calib"])
+        quant = calibrate_int8(apply_calib, batches)
+        out = model.apply({**variables, "quant": quant}, images,
+                          train=False)
+
+    Returns the "quant" collection: the calib tree with each site's
+    ``in_absmax`` (reduced by max across batches) mapped to
+    ``in_scale = absmax / 127`` (symmetric int8).
+    """
+    merged = None
+    for batch in batches:
+        res = apply_calib(batch)
+        mutated = res[1] if isinstance(res, tuple) else res
+        calib = dict(mutated)["calib"]
+        if merged is None:
+            merged = calib
+        else:
+            merged = jax.tree_util.tree_map(jnp.maximum, merged, calib)
+    if merged is None:
+        raise ValueError("calibrate_int8: no calibration batches given")
+    return scales_from_calib(merged)
+
+
+def scales_from_calib(calib: Dict) -> Dict:
+    """"calib" collection (``in_absmax`` leaves) -> "quant" collection
+    (``in_scale`` leaves). The 1e-8 floor keeps a dead site (all-zero
+    input in every calibration batch) from dividing by zero; its conv
+    then sees all-zero int8 inputs, which is exact."""
+
+    def walk(tree):
+        out = {}
+        for k, v in dict(tree).items():
+            if k == "in_absmax":
+                out["in_scale"] = (
+                    jnp.maximum(jnp.asarray(v, jnp.float32), 1e-8) / 127.0)
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(dict(calib))
+
+
+def drop_quant_sites(quant: Dict, predicate) -> Dict:
+    """Prune sites from a "quant" collection: keep a site only when
+    ``predicate("/".join(path))`` is true. Sites without a scale fall
+    back to the dense conv — per-site accuracy triage without touching
+    model code."""
+
+    def walk(tree, path):
+        out = {}
+        for k, v in dict(tree).items():
+            if k == "in_scale":
+                if predicate("/".join(path)):
+                    out[k] = v
+            else:
+                sub = walk(v, path + (k,))
+                if sub:
+                    out[k] = sub
+        return out
+
+    return walk(dict(quant), ())
+
+
+def make_int8_apply(model, variables, calib_batches, drop=None):
+    """Activation-int8 serving in one call: calibrate conv-input scales
+    on ``calib_batches`` (device arrays shaped like serving inputs) and
+    return ``(apply_fn, quant)`` where ``apply_fn(images)`` runs the
+    model with backbone/neck convs in s8 x s8 -> s32.
+
+    ``drop``: optional ``predicate(site_path) -> bool`` keeping a subset
+    of sites int8 (see ``drop_quant_sites``) — per-site accuracy triage.
+    The calibration apply is jitted (op-by-op dispatch is untenable over
+    tunneled runtimes); same-shaped batches share one executable.
+    """
+    calib_fn = jax.jit(lambda b: model.apply(
+        variables, b, train=False, mutable=["calib"]))
+    quant = calibrate_int8(calib_fn, calib_batches)
+    if drop is not None:
+        quant = drop_quant_sites(quant, drop)
+    merged = {**dict(variables), "quant": quant}
+
+    def apply_fn(images):
+        return model.apply(merged, images, train=False)
+
+    return apply_fn, quant
 
 
 def make_quantized_apply(model, variables, min_size: int = 4096,

@@ -211,7 +211,8 @@ def train(cfg, data, steps, batch, lr=2.5e-4, log_every=100,
 
 
 def eval_jax(model, variables, data, batch=16, serving_cfg=None,
-             threshold=0.05, uint8_input=False, uint8_raw=False):
+             threshold=0.05, uint8_input=False, uint8_raw=False,
+             int8_calib=None):
     """mAP@0.5 of a JAX model on (images, boxes, classes, mask).
 
     serving_cfg: optional DFineConfig to re-instantiate the model in a
@@ -222,6 +223,10 @@ def eval_jax(model, variables, data, batch=16, serving_cfg=None,
     uint8_raw: uint8 frames consumed NATIVELY by the model (1/255 folded
     into the s2d stem kernel — `pautdx.serve.throughput.fold_uint8_stem`);
     quality at the raw-uint8 serving graph exactly as benched.
+    int8_calib: array of [0,1] float images (TRAINING frames) — calibrate
+    activation-int8 conv scales on them (`pautdx.serve.quantize
+    .calibrate_int8`) and evaluate with the "quant" collection supplied,
+    i.e. backbone/neck convs run s8 x s8 -> s32 exactly as served.
     """
     from pautdx.eval import evaluate_map
     from pautdx.models.vision.dfine import DFine, post_process
@@ -233,6 +238,30 @@ def eval_jax(model, variables, data, batch=16, serving_cfg=None,
 
         variables = fold_uint8_stem(variables)
         uint8_input = True
+    if int8_calib is not None:
+        from pautdx.serve.quantize import calibrate_int8
+
+        def prep(im):
+            # mirror the eval-time input transform exactly
+            u8 = np.clip(np.asarray(im) * 255.0 + 0.5, 0, 255
+                         ).astype(np.uint8)
+            if uint8_raw:
+                return jnp.asarray(u8)
+            if uint8_input:
+                return jnp.asarray(u8).astype(jnp.bfloat16) / 255.0
+            return jnp.asarray(
+                im, jnp.bfloat16 if serving_cfg is not None
+                else jnp.float32)
+
+        nc = min(int(int8_calib.shape[0]), 4 * batch)
+        cal_batches = [prep(int8_calib[a:a + batch])
+                       for a in range(0, nc - nc % batch, batch)]
+        # jitted: an unjitted flax apply dispatches op-by-op (untenable
+        # over the relay); same-shaped batches reuse one executable
+        calib_fn = jax.jit(lambda b: model.apply(
+            variables, b, train=False, mutable=["calib"]))
+        quant = calibrate_int8(calib_fn, cal_batches)
+        variables = {**dict(variables), "quant": quant}
     images, gt_boxes, gt_classes, gt_mask = data
     n = images.shape[0]
 
@@ -973,15 +1002,22 @@ def run_nano(args, cfgs, train_data, val_data, results, dump):
                           serving_cfg=serving, uint8_input=True)
     m_serve_raw = eval_jax(model, to_bf16(variables), val_data,
                            serving_cfg=serving, uint8_raw=True)
+    # activation-int8 on the raw-uint8 graph (the full serving stack):
+    # scales calibrated on training frames, never on the eval set
+    m_serve_i8 = eval_jax(model, to_bf16(variables), val_data,
+                          serving_cfg=serving, uint8_raw=True,
+                          int8_calib=train_data[0][:64])
     print(f"    JAX mAP@0.5 f32/bilinear = {m_train:.4f}; "
           f"serving bf16/discrete/shared = {m_serve:.4f}; "
           f"uint8-input serving = {m_serve_u8:.4f}; "
-          f"raw-uint8 (folded stem) = {m_serve_raw:.4f}", flush=True)
+          f"raw-uint8 (folded stem) = {m_serve_raw:.4f}; "
+          f"int8-activations = {m_serve_i8:.4f}", flush=True)
     results["nano"] = {"steps": args.steps,
                        "jax_map50_f32_bilinear": m_train,
                        "jax_map50_serving_bf16_discrete": m_serve,
                        "jax_map50_serving_uint8_input": m_serve_u8,
-                       "jax_map50_serving_uint8_raw": m_serve_raw}
+                       "jax_map50_serving_uint8_raw": m_serve_raw,
+                       "jax_map50_serving_int8_acts": m_serve_i8}
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(cfg, img, batch, n_steps=8, raw_uint8=False):
+def measure(cfg, img, batch, n_steps=8, raw_uint8=False, int8_acts=False):
     from pautdx.models.vision.dfine import DFine
     from pautdx.serve.throughput import (
         cast_params_bf16, fold_uint8_stem, make_streaming_forward,
@@ -33,6 +33,18 @@ def measure(cfg, img, batch, n_steps=8, raw_uint8=False):
         train=False))(jax.random.PRNGKey(0)))
     if raw_uint8:
         variables = fold_uint8_stem(variables)
+    if int8_acts:
+        # activation-int8 serving (ops/qconv): fps is calibration-
+        # independent, so a random slab stands in for real frames here;
+        # quality runs calibrate on training data (bench_accuracy)
+        from pautdx.serve.quantize import calibrate_int8
+
+        cb = make_uint8_slab((2, img, img, 3), seed=7)
+        cb = cb if raw_uint8 else cb.astype(jnp.bfloat16) / 255.0
+        quant = calibrate_int8(
+            jax.jit(lambda b: model.apply(variables, b, train=False,
+                                          mutable=["calib"])), [cb])
+        variables = {**variables, "quant": quant}
 
     def apply_fn(images):
         out = model.apply(variables, images, train=False)
@@ -78,6 +90,12 @@ def main():
     fps = measure(variants["tanh+s2d"], img, batch, raw_uint8=True)
     out["tanh+s2d+raw_u8"] = round(fps, 1)
     print(f"tanh+s2d+raw_u8: {fps:.1f} fps", flush=True)
+    # activation-int8 on the full stack: backbone/neck convs run
+    # s8 x s8 -> s32 on the MXU with int8 inter-conv tensors in HBM
+    fps = measure(variants["tanh+s2d"], img, batch, raw_uint8=True,
+                  int8_acts=True)
+    out["tanh+s2d+raw_u8+int8a"] = round(fps, 1)
+    print(f"tanh+s2d+raw_u8+int8a: {fps:.1f} fps", flush=True)
     print(json.dumps(out))
 
 
