@@ -250,10 +250,16 @@ def _cmd_train_bscan(args) -> None:
 
 def _build_detector_forward(detector: str, num_classes: int, scale: str,
                             size: int, checkpoint, threshold: float,
-                            flavour: str = "v8"):
+                            flavour: str = "v8", quant: str = "none"):
     """Jitted detector forward: images (T, H, W, 3) -> fixed-size
     detections {boxes, scores, classes, valid}. Shared by predict-bscan
-    and inspect."""
+    and inspect.
+
+    ``quant="int8"``: activation-int8 serving — backbone/neck convs run
+    s8 x s8 -> s32 on the MXU with int8 inter-conv tensors in HBM
+    (`pautdx.ops.qconv`). Conv-input scales are calibrated lazily on the
+    FIRST request's frames (representative by construction: calibration
+    data and serving data are the same stream), then reused."""
     import jax
     import jax.numpy as jnp
 
@@ -304,21 +310,35 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
         variables = init(jax.random.PRNGKey(0))
 
     if detector == "yolo":
-        @jax.jit
-        def forward(images):
-            out = model.apply(variables, images, train=False)
+        def _head(vs, images):
+            out = model.apply(vs, images, train=False)
             d = decode_boxes(out, (size, size), cfg)
             return dense_to_detections(d, score_threshold=threshold,
                                        top_k=64, max_det=16)
     else:
         from pautdx.models.vision.dfine import post_process
 
-        @jax.jit
-        def forward(images):
-            out = model.apply(variables, images, train=False)
+        def _head(vs, images):
+            out = model.apply(vs, images, train=False)
             return post_process(out["logits"], out["pred_boxes"],
                                 (size, size), threshold=threshold,
                                 max_det=16)
+
+    if quant == "int8":
+        from pautdx.serve.quantize import calibrate_int8
+
+        cell = {}
+
+        def forward(images):
+            if "vars" not in cell:
+                calib_fn = jax.jit(lambda b: model.apply(
+                    variables, b, train=False, mutable=["calib"]))
+                q = calibrate_int8(calib_fn, [images])
+                cell["vars"] = {**dict(variables), "quant": q}
+                cell["fwd"] = jax.jit(lambda im: _head(cell["vars"], im))
+            return cell["fwd"](images)
+    else:
+        forward = jax.jit(lambda images: _head(variables, images))
     return forward
 
 
@@ -348,7 +368,8 @@ def _cmd_predict_bscan(args) -> None:
     forward = _build_detector_forward(args.detector, args.num_classes,
                                       args.scale, args.size,
                                       args.checkpoint, args.threshold,
-                                      flavour=args.flavour)
+                                      flavour=args.flavour,
+                                      quant=getattr(args, "quant", "none"))
     results = {}
     for entry in sorted(os.listdir(args.data)):
         path = os.path.join(args.data, entry)
@@ -750,6 +771,9 @@ def main(argv=None) -> None:
     pb.add_argument("--flavour", default="v8",
         choices=("v8", "v5", "v9c", "v11"))
     pb.add_argument("--threshold", type=float, default=0.3)
+    pb.add_argument("--quant", choices=("none", "int8"), default="none",
+                    help="int8: activation-int8 serving (s8xs8->s32 convs, "
+                         "scales self-calibrated on the first request)")
     pb.add_argument("--overlays", action="store_true")
     pb.set_defaults(fn=_cmd_predict_bscan)
 

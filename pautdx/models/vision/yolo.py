@@ -127,12 +127,25 @@ class ConvBnSiLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from pautdx.ops.qconv import (
+            int8_conv, shared_conv_kernel, sow_calibration, wants_int8,
+        )
+
         p = (self.kernel - 1) // 2 if self.padding is None else self.padding
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)), use_bias=False,
-                    feature_group_count=self.groups,
-                    name="conv")(x)
+        sow_calibration(self, x)
+        if wants_int8(self, train, "conv"):
+            # activation-int8 serving (pautdx.serve.quantize): same kernel
+            # param, s8 x s8 -> s32 conv, calibrated per-tensor input scale
+            kernel = shared_conv_kernel(self, "conv")
+            x = int8_conv(x, kernel, strides=(self.stride, self.stride),
+                          padding=((p, p), (p, p)), groups=self.groups,
+                          in_scale=self.get_variable("quant", "in_scale"))
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((p, p), (p, p)), use_bias=False,
+                        feature_group_count=self.groups,
+                        name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, name="bn")(x)
         return nn.silu(x) if self.act else x

@@ -29,6 +29,21 @@ def test_predict_bscan_cli(raw_dir, tmp_path, detector):
             assert set(d) == {"box", "label", "score"}
 
 
+def test_predict_bscan_cli_int8(raw_dir, tmp_path):
+    """--quant int8: activation-int8 serving path through the CLI
+    (scales self-calibrated on the first request's frames)."""
+    out = str(tmp_path / "det_int8")
+    cli.main(["predict-bscan", "--data", raw_dir, "--out", out,
+              "--detector", "dfine", "--size", "64",
+              "--threshold", "0.0", "--quant", "int8"])
+    dets = json.load(open(os.path.join(out, "detections.json")))
+    assert "v" in dets and len(dets["v"]) == 12
+    for frame in dets["v"]:
+        for d in frame:
+            assert set(d) == {"box", "label", "score"}
+            assert np.isfinite(d["score"])
+
+
 @pytest.mark.parametrize("detector", ["yolo"])
 def test_train_bscan_cli(raw_dir, tmp_path, detector):
     out = str(tmp_path / f"train_{detector}")

@@ -140,6 +140,38 @@ def test_dfine_int8_serving_close_and_prunable():
     assert np.isfinite(np.asarray(q_bb["logits"], np.float32)).all()
 
 
+def test_yolo_int8_features_close():
+    """ConvBnSiLU (the YOLO family's only conv block) takes the int8
+    path when calibrated; detector head outputs stay close (dense graph
+    is conv-heavy end to end, no discontinuous selection like D-FINE's
+    top-k, so the final maps are directly comparable)."""
+    from pautdx.models.vision import YOLO, YoloConfig
+
+    cfg = YoloConfig(num_classes=2, scale="n", flavour="v8")
+    model = YOLO(cfg)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+    apply_fn, quant = make_int8_apply(model, variables, [x])
+    n_sites = len(jax.tree_util.tree_leaves(quant))
+    assert n_sites >= 30, f"only {n_sites} calibrated YOLO conv sites"
+    dense = model.apply(variables, x, train=False)
+    q = apply_fn(x)
+    # cosine over ALL anchors of all levels: the P5 level alone is tiny
+    # (4x4 cells here) and random-init logits there are near-zero, so a
+    # per-level cosine is sample-noise, not a quantization measurement.
+    # Trained-weight quality is gated by the accuracy harness.
+    for k in ("box", "cls"):
+        a = np.concatenate([np.asarray(l[k], np.float32).ravel()
+                            for l in dense["levels"]])
+        b = np.concatenate([np.asarray(l[k], np.float32).ravel()
+                            for l in q["levels"]])
+        cos = float(np.dot(a, b)
+                    / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos >= 0.97, f"yolo int8 {k} diverged: cos={cos}"
+
+
 def test_make_int8_apply_wrapper():
     """One-call serving helper: calibrates, merges, runs."""
     rng = np.random.default_rng(4)

@@ -164,6 +164,14 @@ def main():
                          "target tier (SNR curriculum)")
     args = ap.parse_args()
 
+    import jax
+
+    # honor JAX_PLATFORMS even under the axon sitecustomize (same fix as
+    # bench_accuracy): quality tiers are platform-independent, so CPU
+    # runs are legitimate evidence when the TPU relay is down
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from pautdx.data.datasets import load_json_dir
     from pautdx.models.signal import HybridBinaryModel
     from pautdx.models.signal.detection_zoo import ComplexDetectionModel
@@ -192,6 +200,7 @@ def main():
 
     results = {
         "test_signals": n_signals, "test_positives": n_pos,
+        "device": str(jax.devices()[0]),
         "tier_knobs": TIERS[args.tier],
         "reference": {
             "model": "ComplexDetectionModel",
