@@ -53,7 +53,10 @@ def run_bench():
 
     import dataclasses
 
-    batch = 64
+    # batch 128: round-4 sweep on chip measured 6539 fps vs 6383 at b64
+    # and 6302 at b96 (PERF_SERVING_R4.json) — deeper batching amortizes
+    # the per-iter fixed ops (relayout copy, gather latency) a bit more
+    batch = 128
     n_steps = 8
     img = 640
     # discrete (nearest) deformable sampling: D-FINE's fast decoder mode —
