@@ -195,19 +195,26 @@ def _ddf_loss(student_corners: jnp.ndarray, teacher_corners: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_labels", "max_num_bins",
-                                             "reg_scale", "up"))
+                                             "reg_scale", "up",
+                                             "legacy_vfl"))
 def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
                     gt_classes: jnp.ndarray, gt_mask: jnp.ndarray,
                     num_labels: int, max_num_bins: int = 32,
                     reg_scale: float = 4.0, up: float = 0.5,
                     cls_weight: float = 1.0, l1_weight: float = 5.0,
                     giou_weight: float = 2.0, fgl_weight: float = 0.15,
-                    ddf_weight: float = 1.5
+                    ddf_weight: float = 1.5, legacy_vfl: bool = False
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full D-FINE training loss over final + auxiliary heads.
 
     outputs: the DFine.__call__ dict (train=True); gt_boxes (B, M, 4)
     cxcywh normalized, gt_classes (B, M), gt_mask (B, M).
+
+    legacy_vfl: DIAGNOSTIC ONLY (tools/criterion_ab.py) — reproduces the
+    pre-round-4 objective (clipped-GIoU VFL quality target, target and
+    focal weight NOT detached) so the criterion-fix quality shift can be
+    measured in a controlled A/B. Never use for training models you
+    intend to ship; the detached form is the HF-faithful one.
     """
     project = weighting_function(max_num_bins, up, reg_scale)
     total = 0.0
@@ -230,14 +237,19 @@ def dfine_criterion(outputs: Dict, gt_boxes: jnp.ndarray,
         # DETACHED like HF's `ious.detach()`: the classification target
         # must not backprop into the box head, and the focal weight's
         # prob**2 must not add a push-your-own-score-down gradient.
-        iou = jax.lax.stop_gradient(iou_xyxy(xy_p, xy_g))    # (B, M)
+        if legacy_vfl:
+            iou = jnp.clip(giou, 0.0)                        # (B, M)
+        else:
+            iou = jax.lax.stop_gradient(iou_xyxy(xy_p, xy_g))  # (B, M)
 
         # varifocal classification: target q = IoU at matched slots
         t_cls = jnp.zeros((B, Q, C))
         q_val = (iou * gt_mask)
         t_cls = t_cls.at[b_idx, match, jnp.clip(gt_classes, 0)].max(
             jnp.where(gt_mask > 0, q_val, 0.0))
-        prob = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
+        prob = jax.nn.sigmoid(logits)
+        if not legacy_vfl:
+            prob = jax.lax.stop_gradient(prob)
         weight = 0.75 * prob ** 2.0 * (t_cls <= 0) + t_cls
         logz = jnp.log1p(jnp.exp(-jnp.abs(logits))) + jnp.maximum(-logits, 0)
         bce = t_cls * logz + (1 - t_cls) * (logz + logits)

@@ -130,7 +130,7 @@ def configs():
 
 
 def train(cfg, data, steps, batch, lr=2.5e-4, log_every=100,
-          ema_decay=0.999):
+          ema_decay=0.999, legacy_vfl=False):
     from pautdx.losses.detr import dfine_criterion
     from pautdx.models.vision.dfine import DFine
 
@@ -178,7 +178,8 @@ def train(cfg, data, steps, batch, lr=2.5e-4, log_every=100,
                 {"params": p, "batch_stats": batch_stats}, im, train=True,
                 rngs={"dropout": key}, mutable=["batch_stats"])
             loss, _ = dfine_criterion(out, gtb, gtc, gtm, cfg.num_labels,
-                                      cfg.max_num_bins)
+                                      cfg.max_num_bins,
+                                      legacy_vfl=legacy_vfl)
             return loss, mut["batch_stats"]
 
         (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -302,6 +303,61 @@ def to_bf16(variables):
         variables)
 
 
+def _jax_cpu_forward(cfg, variables, images, batch=8):
+    """f32 JAX forward of ``images`` on a CPU backend, batched.
+
+    In-process when a CPU backend exists; otherwise (the axon env
+    exposes ONLY the TPU backend — the unguarded ``backend="cpu"``
+    lookup here cost round 4 its finished 6000-step parity run) the
+    forward runs in a ``JAX_PLATFORMS=cpu`` child process
+    (`tools/_parity_cpu_child.py`). Returns {"logits", "pred_boxes"}
+    as (N, ...) numpy arrays. PAUTDX_FORCE_PARITY_SUBPROC=1 forces the
+    child path (used by its test).
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    if cpu is not None and not os.environ.get("PAUTDX_FORCE_PARITY_SUBPROC"):
+        from pautdx.models.vision.dfine import DFine
+
+        jmodel = DFine(cfg)
+        variables = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), cpu),
+            jax.device_get(variables))
+        jf = jax.jit(lambda v, x: jmodel.apply(v, x, train=False))
+        logits, boxes = [], []
+        with jax.default_device(cpu):
+            for a in range(0, images.shape[0], batch):
+                out = jf(variables,
+                         jax.device_put(jnp.asarray(images[a:a + batch]), cpu))
+                logits.append(np.asarray(out["logits"], np.float32))
+                boxes.append(np.asarray(out["pred_boxes"], np.float32))
+        return {"logits": np.concatenate(logits),
+                "pred_boxes": np.concatenate(boxes)}
+
+    import pickle
+    import subprocess
+    import tempfile
+
+    print("    (no in-process CPU backend; JAX forward via "
+          "JAX_PLATFORMS=cpu child)", flush=True)
+    child = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_parity_cpu_child.py")
+    with tempfile.TemporaryDirectory(prefix="pautdx_parity_") as td:
+        inp, outp = os.path.join(td, "in.pkl"), os.path.join(td, "out.npz")
+        with open(inp, "wb") as f:
+            pickle.dump({"cfg": cfg,
+                         "variables": jax.device_get(variables),
+                         "images": np.asarray(images, np.float32),
+                         "batch": batch}, f)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run([sys.executable, child, inp, outp], env=env,
+                       check=True, timeout=3600)
+        z = np.load(outp)
+        return {"logits": z["logits"], "pred_boxes": z["pred_boxes"]}
+
+
 def eval_torch_parity(cfg, variables, data, max_frames=240, threshold=0.05):
     """Export JAX weights -> torch HF D-FINE, eval mAP@0.5 on the same
     frames (CPU). Returns mAP or None if transformers lacks D-FINE."""
@@ -357,25 +413,13 @@ def eval_torch_parity(cfg, variables, data, max_frames=240, threshold=0.05):
     tm.load_state_dict({k: torch.from_numpy(np.asarray(v))
                         for k, v in sd.items()})
 
-    from pautdx.models.vision.dfine import DFine
-
     # Reference forward runs on the host CPU in f32: the parity claim is
     # "identical weights through torch match JAX" — apples-to-apples means
     # CPU f32 vs CPU f32. (On-TPU f32 matmuls use bf16 MXU passes by
     # default; that quality is what jax_map50 already measures.)
-    jmodel = DFine(cfg)
-    cpu = jax.local_devices(backend="cpu")[0]
-    variables = jax.tree_util.tree_map(
-        lambda a: jax.device_put(np.asarray(a), cpu),
-        jax.device_get(variables))
-    _jf = jax.jit(lambda v, x: jmodel.apply(v, x, train=False))
-
-    def jinfer(v, x):
-        with jax.default_device(cpu):
-            return _jf(v, jax.device_put(x, cpu))
-
     images, gt_boxes, gt_classes, gt_mask = data
     n = min(max_frames, images.shape[0])
+    jout_all = _jax_cpu_forward(cfg, variables, images[:n])
     preds, gts = [], []
     max_logit_delta = max_box_delta = max_score = 0.0
     with torch.no_grad():
@@ -386,11 +430,10 @@ def eval_torch_parity(cfg, variables, data, max_frames=240, threshold=0.05):
             # direct output parity vs JAX on the same frames — THE parity
             # evidence (mAP equality follows from it, and a harness bug in
             # either post-processing can't mask a real model mismatch)
-            jout = jinfer(variables, jnp.asarray(images[a:a + 8]))
             max_logit_delta = max(max_logit_delta, float(np.max(np.abs(
-                np.asarray(jout["logits"]) - out.logits.numpy()))))
+                jout_all["logits"][a:a + 8] - out.logits.numpy()))))
             max_box_delta = max(max_box_delta, float(np.max(np.abs(
-                np.asarray(jout["pred_boxes"]) - out.pred_boxes.numpy()))))
+                jout_all["pred_boxes"][a:a + 8] - out.pred_boxes.numpy()))))
             probs = torch.sigmoid(out.logits)
             max_score = max(max_score, float(probs.max()))
             for i in range(im.shape[0]):
@@ -530,7 +573,7 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
     # frozen grads zero BEFORE the clip: otherwise they inflate the
     # global norm and over-shrink the trainable updates (torch's
     # requires_grad=False excludes them from the norm entirely)
-    if variant == "v3":
+    if variant in ("v2", "v3"):
         def group(path, _):
             keys = [getattr(p, "key", str(p)) for p in path]
             m = mask
@@ -548,10 +591,23 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
             return "temporal"
 
         labels = jax.tree_util.tree_map_with_path(group, params)
-        tx = {"frozen": optax.set_to_zero(),
-              "trunk": optax.adamw(sched(1e-5), weight_decay=0.01),
-              "temporal": optax.adamw(sched(5e-4), weight_decay=0.01),
-              "classifier": optax.adamw(sched(1e-4), weight_decay=0.01)}
+        # v3: reference 3-group lrs (`temp_dfine_over_improved.py:389-410`).
+        # v2: the FRESH from-scratch classifier gets its own fast group —
+        # the recipe the CPU gate certifies (test_quality_temporal.py v2
+        # branch, mirroring the reference's separate classifier group).
+        # Round 4 trained it at the flat v1 sched(2e-4) and measured a
+        # 0.037-mAP collapse (VERDICT r4 weak #2); v2's trunk stays
+        # frozen per trainable_mask.
+        if variant == "v3":
+            tx = {"frozen": optax.set_to_zero(),
+                  "trunk": optax.adamw(sched(1e-5), weight_decay=0.01),
+                  "temporal": optax.adamw(sched(5e-4), weight_decay=0.01),
+                  "classifier": optax.adamw(sched(1e-4), weight_decay=0.01)}
+        else:
+            tx = {"frozen": optax.set_to_zero(),
+                  "trunk": optax.set_to_zero(),
+                  "temporal": optax.adamw(sched(5e-4), weight_decay=0.01),
+                  "classifier": optax.adamw(sched(1e-3), weight_decay=0.01)}
         opt = optax.chain(zero_frozen_grads(labels),
                           optax.clip_by_global_norm(1.0),
                           optax.multi_transform(tx, labels))
@@ -781,6 +837,16 @@ def run_temporal(args, results):
               flush=True)
         state = {}
     state["_img"], state["_seq"] = IMG, SEQ_LEN
+    # v2 recipe version: round 5 moved v2 to the grouped-lr recipe its
+    # CPU gate certifies (classifier 1e-3 / temporal 5e-4, 2.5x steps);
+    # a cached v2 number from the old flat-2e-4 recipe must re-measure
+    V2_RECIPE = 2
+    if state.get("_v2recipe") != V2_RECIPE:
+        if "v2_map50" in state:
+            print("  [resume] v2 recipe changed; dropping cached v2_map50",
+                  flush=True)
+        state.pop("v2_map50", None)
+        state["_v2recipe"] = V2_RECIPE
     from pautdx.models.vision.dfine import dfine_nano
 
     trunk_cfg = dfine_nano(num_labels=NUM_LABELS)
@@ -842,15 +908,19 @@ def run_temporal(args, results):
            "temporal_steps": seq_steps,
            "single_frame_map50": m_trunk}
     for variant in ("v1", "v2", "v3"):
+        # v2 trains its classifier from scratch -> 2.5x the steps (the
+        # CPU gate's ratio: 300 vs 120 for v1)
+        v_steps = int(seq_steps * 2.5) if variant == "v2" else seq_steps
         if f"{variant}_map50" in state:
             m = state[f"{variant}_map50"]
         else:
             tm, tv = train_temporal(variant, trunk_cfg, trunk_vars, tr_d,
-                                    len(train_chunks), seq_steps)
+                                    len(train_chunks), v_steps)
             m = eval_temporal(tm, tv, va_d, val_chunks)
             state[f"{variant}_map50"] = m
             save_state()
         out[f"{variant}_map50"] = m
+        out[f"{variant}_steps"] = v_steps
         out[f"{variant}_delta_vs_single"] = m - m_trunk
         print(f"    {variant} mAP@0.5 = {m:.4f} "
               f"(delta {m - m_trunk:+.4f})", flush=True)
@@ -963,31 +1033,53 @@ def main():
                 flat[f"{grp}:{k}"] = np.asarray(v)
         np.savez_compressed(f"/tmp/bench_acc_{tag}.npz", **flat)
 
+    def flush():
+        # atomic, after every landed metric: a crash in a later stage
+        # must never lose an earlier finished measurement
+        with open(args.out + ".tmp", "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(args.out + ".tmp", args.out)
+
     if args.only in (None, "parity_small"):
-        run_parity(args, cfgs, train_data, val_data, results, dump)
+        run_parity(args, cfgs, train_data, val_data, results, dump,
+                   flush=flush)
     if args.only in (None, "nano"):
         run_nano(args, cfgs, train_data, val_data, results, dump)
+        flush()
     if args.only in (None, "temporal"):
         run_temporal(args, results)
+        flush()
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+    flush()
     print(json.dumps(results))
 
 
-def run_parity(args, cfgs, train_data, val_data, results, dump):
+def run_parity(args, cfgs, train_data, val_data, results, dump, flush=None):
     print("== parity_small (HF architecture) ==", flush=True)
     model, variables = train(cfgs["parity_small"], train_data, args.steps,
                              args.batch)
     dump("parity_small", variables)
     m_jax = eval_jax(model, variables, val_data)
     print(f"    JAX mAP@0.5 (f32/bilinear) = {m_jax:.4f}", flush=True)
-    m_torch = eval_torch_parity(cfgs["parity_small"], variables, val_data)
-    print(f"    torch parity (same weights) = {m_torch}", flush=True)
     # per-section step count: --only reruns merge into the artifact, so
-    # the top-level "steps" may not describe every section
+    # the top-level "steps" may not describe every section.
+    # jax_map50 lands in the artifact BEFORE the torch stage: round 4
+    # lost a finished 90-minute training run to a parity-stage crash.
     results["parity_small"] = {"steps": args.steps, "jax_map50": m_jax,
-                               "torch": m_torch}
+                               "torch": None}
+    if flush is not None:
+        flush()
+    try:
+        m_torch = eval_torch_parity(cfgs["parity_small"], variables,
+                                    val_data)
+    except Exception as e:                                 # pragma: no cover
+        print(f"    torch parity FAILED (training result kept): {e!r}",
+              flush=True)
+        m_torch = {"error": repr(e)}
+    print(f"    torch parity (same weights) = {m_torch}", flush=True)
+    results["parity_small"]["torch"] = m_torch
+    if flush is not None:
+        flush()
 
 
 def run_nano(args, cfgs, train_data, val_data, results, dump):

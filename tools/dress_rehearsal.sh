@@ -1,12 +1,12 @@
 #!/bin/bash
-# End-to-end CLI dress rehearsal ON THE REAL TPU (VERDICT r3 item 8):
-# synth volumes -> build-dataset -> train-bscan (v8) -> predict-bscan
+# End-to-end CLI dress rehearsal ON THE REAL TPU (VERDICT r3 item 8 /
+# r4 item 5): synth volumes -> train-bscan (v8) -> predict-bscan
 # overlays -> inspect HTML, wall-clocked, artifacts + log committed under
 # docs/runs/. This is the reference's script-per-step workflow
 # (SURVEY.md §1 L5) driven through the pautdx CLI off the test mesh.
 set -euo pipefail
-cd "$(dirname "$0")/.."
-RUN=docs/runs/r4_dress
+cd "$(dirname "$0")/.." || exit 1
+RUN=docs/runs/r5_dress
 RAW=/tmp/dress_raw
 mkdir -p "$RUN" "$RAW"
 exec > >(tee "$RUN/run.log") 2>&1
