@@ -21,10 +21,13 @@ run_section() {
 }
 
 echo "== r5 queue start $(date -u +%FT%TZ) =="
-run_section temporal 10800 \
-    python tools/bench_accuracy.py --only temporal --steps 3000
+# parity6000 first: its path is fully smoke-validated (the temporal
+# section's new v2 recipe smoke is still completing when the queue
+# launches; it lands before the chip reaches that section)
 run_section parity6000 10800 \
     python tools/bench_accuracy.py --only parity_small --steps 6000
+run_section temporal 10800 \
+    python tools/bench_accuracy.py --only temporal --steps 3000
 run_section ab_legacy 7200 python tools/criterion_ab.py --arm legacy
 run_section ab_fixed2x 10800 python tools/criterion_ab.py --arm fixed2x
 
