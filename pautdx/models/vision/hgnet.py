@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -50,6 +51,16 @@ class HGNetConfig:
     # matmul (identical math and params; avoids XLA's conv input-layout
     # copy — see _S2DProj)
     stem_s2d: bool = False
+    # raw-uint8 serving only: materialize the dequantized bf16 PATCHES
+    # (an optimization_barrier after the cast) instead of letting XLA
+    # fuse the u8->bf16 convert into the stem matmul's operand load.
+    # The round-4 raw-u8 measurement was a 2.3% slowdown precisely
+    # because of that fusion (slow u8-convert operand path on the MXU);
+    # this splits it: the s2d copy moves 1-byte elements, one convert
+    # pass writes bf16 patches in the matmul's preferred lane-aligned
+    # layout (192 channels, vs the 3-channel image), and the matmul
+    # reads plain bf16.
+    stem_u8_materialize: bool = False
     # first stage to run (patchify8 presets set 2: the stem already
     # provides that stage's input stride and channel count)
     start_stage: int = 0
@@ -226,6 +237,7 @@ class _S2DProj(nn.Module):
 
     patch: int
     features: int
+    u8_materialize: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -251,6 +263,11 @@ class _S2DProj(nn.Module):
             # ever materialized. The 1/255 scale lives pre-folded in the
             # kernel, so u8 @ (K/255) == (u8/255) @ K exactly.
             x = x.astype(kernel.dtype)
+            if self.u8_materialize:
+                # force the converted patches into HBM instead of fusing
+                # the convert into the matmul operand load (see
+                # HGNetConfig.stem_u8_materialize)
+                x = jax.lax.optimization_barrier(x)
         # otherwise no explicit cast: dtype promotion matches the nn.Conv
         # path (bf16 serving casts the kernel to bf16 with every other
         # param)
@@ -270,7 +287,8 @@ class PatchifyStem(nn.Module):
         f = self.features or self.cfg.stem_channels[2]
         p = self.patch
         if self.cfg.stem_s2d:
-            x = _S2DProj(patch=p, features=f, name="proj")(x)
+            x = _S2DProj(patch=p, features=f, name="proj",
+                         u8_materialize=self.cfg.stem_u8_materialize)(x)
         else:
             x = nn.Conv(f, (p, p), strides=(p, p),
                         use_bias=False, name="proj")(x)

@@ -119,3 +119,32 @@ def test_raw_uint8_stem_fold_equivalence():
                                   jnp.zeros((1, img, img, 3)), train=False)
     with pytest.raises(KeyError, match="space-to-depth"):
         fold_uint8_stem(v_conv)
+
+
+def test_stem_u8_materialize_is_identity():
+    """`stem_u8_materialize` (round-5 relayout lever, tools/perf_r5.py)
+    only inserts an optimization_barrier after the u8->bf16 cast — the
+    raw-uint8 serving outputs must be BIT-identical with and without it,
+    so the BENCH_ACCURACY raw-uint8 quality entry covers both."""
+    import dataclasses
+
+    from pautdx.models.vision.dfine import DFine, dfine_nano
+    from pautdx.serve.throughput import fold_uint8_stem
+
+    img = 64
+    cfg = dataclasses.replace(dfine_nano(num_labels=2),
+                              decoder_method="discrete")
+    cfg_mat = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone,
+                                          stem_u8_materialize=True))
+    variables = DFine(cfg).init({"params": jax.random.PRNGKey(0)},
+                                jnp.zeros((1, img, img, 3)), train=False)
+    folded = fold_uint8_stem(variables)
+    u8 = jnp.asarray(np.random.default_rng(3).integers(
+        0, 256, (1, img, img, 3), dtype=np.uint8))
+    out_a = DFine(cfg).apply(folded, u8, train=False)
+    out_b = DFine(cfg_mat).apply(folded, u8, train=False)
+    np.testing.assert_array_equal(np.asarray(out_a["logits"]),
+                                  np.asarray(out_b["logits"]))
+    np.testing.assert_array_equal(np.asarray(out_a["pred_boxes"]),
+                                  np.asarray(out_b["pred_boxes"]))

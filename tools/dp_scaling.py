@@ -73,6 +73,16 @@ def main():
     ap.add_argument("--img", type=int, default=96)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default="DP_SCALING.json")
+    ap.add_argument("--devices", default="1,2,4,8",
+                    help="comma list of mesh sizes; a subset run (e.g. "
+                         "'1,2') merges into --out under --merge-key. "
+                         "1 must be included: it is both the efficiency "
+                         "base and the built-in quietness control (its "
+                         "step time vs the committed quiet run's tells "
+                         "whether the host was actually quiet).")
+    ap.add_argument("--merge-key", default=None,
+                    help="merge this run into an existing artifact under "
+                         "the given key instead of overwriting it")
     args = ap.parse_args()
 
     from __graft_entry__ import _tiny_cfg
@@ -81,7 +91,9 @@ def main():
     cfg = _tiny_cfg()
     model = DFine(cfg)
     rows = []
-    for n in (1, 2, 4, 8):
+    sizes = tuple(int(s) for s in args.devices.split(","))
+    assert sizes[0] == 1, "--devices must start with 1 (efficiency base)"
+    for n in sizes:
         devs = np.asarray(jax.devices()[:n])
         mesh = Mesh(devs, axis_names=("dp",))
         repl = NamedSharding(mesh, P())
@@ -119,9 +131,20 @@ def main():
     base = rows[0]["step_ms"]
     for r in rows:
         r["weak_scaling_eff"] = round(base / r["step_ms"], 3)
-    with open(args.out, "w") as f:
-        json.dump(rows, f, indent=1)
-    print(json.dumps(rows))
+    if args.merge_key:
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        merged[args.merge_key] = rows
+        with open(args.out + ".tmp", "w") as f:
+            json.dump(merged, f, indent=1)
+        os.replace(args.out + ".tmp", args.out)
+        print(json.dumps(merged))
+    else:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(json.dumps(rows))
 
 
 if __name__ == "__main__":

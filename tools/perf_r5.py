@@ -1,0 +1,90 @@
+"""Round-5 serving-fps probes (VERDICT r4 item 6): deeper batch sweep
+(b128/b192/b256) and the input-relayout lever.
+
+The remaining roofline gap analysis (PERF_INT8.json / PERF_SERVING_R4):
+top op #1 is the dequantized bf16[B,640,640,3] image materializing in a
+tiled layout before the space-to-depth fusion reads it. Round 4's
+raw-uint8 fold measured NEGATIVE (6206 vs 6354) because XLA fused the
+u8->bf16 convert into the stem matmul's operand load (slow convert path
+on the MXU operand bus). `stem_u8_materialize` splits the difference:
+s2d moves 1-byte elements, ONE convert pass writes lane-aligned bf16
+patches (192 channels), the matmul reads plain bf16 — the 3-channel
+640px bf16 image never exists.
+
+Numerics are identical to the raw-u8 path (the barrier is an identity),
+so the BENCH_ACCURACY raw-uint8 quality entry covers it.
+
+Usage: python tools/perf_r5.py [--out PERF_SERVING_R5.json]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from perf_ab import measure
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PERF_SERVING_R5.json")
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--batches", default="128,192,256")
+    args = ap.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/pautdx_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from pautdx.models.vision.dfine import dfine_nano
+
+    base = dataclasses.replace(dfine_nano(num_labels=2),
+                               decoder_method="discrete")
+    mat = dataclasses.replace(
+        base, backbone=dataclasses.replace(base.backbone,
+                                           stem_u8_materialize=True))
+
+    out = {"probe": "tools/perf_r5.py, dfine_nano discrete serving, "
+                    "real v5e chip via axon relay, round 5",
+           "batch_sweep_fps": {}, "u8_materialize_fps": {}}
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+        out["batch_sweep_fps"] = results.get("batch_sweep_fps", {})
+        out["u8_materialize_fps"] = results.get("u8_materialize_fps", {})
+
+    def flush():
+        with open(args.out + ".tmp", "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(args.out + ".tmp", args.out)
+
+    for b in (int(s) for s in args.batches.split(",")):
+        key = f"b{b}"
+        if key not in out["batch_sweep_fps"]:
+            fps = measure(base, args.img, b)
+            out["batch_sweep_fps"][key] = round(fps, 1)
+            print(f"base {key}: {fps:.1f} fps", flush=True)
+            flush()
+        if key not in out["u8_materialize_fps"]:
+            fps = measure(mat, args.img, b, raw_uint8=True)
+            out["u8_materialize_fps"][key] = round(fps, 1)
+            print(f"u8_materialize {key}: {fps:.1f} fps", flush=True)
+            flush()
+
+    flush()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
