@@ -91,6 +91,11 @@ class DFineConfig:
     # ~0.6 ms/iter at 640px b32), True = tanh approximation (stays bf16,
     # MXU-adjacent elementwise only). pautdx-native presets use True.
     encoder_act_approx: bool = False
+    # AIFI self-attention as a fused Pallas kernel (serving only): the
+    # (B, h, N, N) score tensor stays in VMEM instead of round-tripping
+    # HBM (~327 MB/iter at 640px b128). Inference path only; training
+    # keeps the einsum chain (see TorchMHA.fused).
+    encoder_fused_attn: bool = False
 
     def __post_init__(self):
         if self.encoder_hidden_dim != self.d_model:
@@ -355,6 +360,10 @@ class TorchMHA(nn.Module):
 
     num_heads: int
     attention_dropout: float = 0.0
+    # serving-only fused attention (ops/pallas_attention): scores stay
+    # in VMEM instead of materializing (B, h, N, N) in HBM. Inference
+    # path only — training/dropout/masked calls keep the einsum chain.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, pos: Optional[jnp.ndarray] = None,
@@ -367,6 +376,12 @@ class TorchMHA(nn.Module):
         q = nn.Dense(d, name="q_proj")(qk_in) * (dh ** -0.5)
         k = nn.Dense(d, name="k_proj")(qk_in)
         v = nn.Dense(d, name="v_proj")(x)
+
+        if self.fused and not train and attn_mask is None:
+            from pautdx.ops.pallas_attention import aifi_attention
+
+            out = aifi_attention(q, k, v, num_heads=h)
+            return nn.Dense(d, name="out_proj")(out)
 
         def split(t):
             return t.reshape(t.shape[:-1] + (h, dh))
@@ -397,6 +412,7 @@ class EncoderLayer(nn.Module):
             return t
 
         a = TorchMHA(c.encoder_attention_heads, c.attention_dropout,
+                     fused=c.encoder_fused_attn,
                      name="self_attn")(x, pos=pos, train=train)
         x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(
             x + drop(a, c.dropout))

@@ -195,3 +195,60 @@ def test_deformable_shared_bilinear_pallas_matches_xla():
         pg._weighted_impl = real_impl
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def _einsum_attention(q, k, v, h):
+    # the TorchMHA einsum chain (q pre-scaled), reference for the kernel
+    def split(t):
+        return t.reshape(t.shape[:-1] + (h, t.shape[-1] // h))
+    w = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k)),
+                       axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, split(v))
+    return out.reshape(out.shape[:-2] + (q.shape[-1],))
+
+
+def test_pallas_aifi_attention_matches_einsum():
+    from pautdx.ops.pallas_attention import aifi_attention
+
+    rng = np.random.default_rng(0)
+    B, N, D, h = 2, 40, 64, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+               for _ in range(3))
+    ref = _einsum_attention(q, k, v, h)
+    got = aifi_attention(q, k, v, num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # serving dtype: kernel accumulates scores in f32 where the einsum
+    # path stores bf16 scores -> small tolerance, same argmax structure
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    ref16 = _einsum_attention(qb, kb, vb, h)
+    got16 = aifi_attention(qb, kb, vb, num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(ref16, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_dfine_encoder_fused_attn_equivalence():
+    """DFine with encoder_fused_attn must match the einsum encoder at
+    serving tolerance (bf16-level deltas), and training mode must keep
+    the einsum path (the kernel is inference-only)."""
+    import dataclasses
+
+    from pautdx.models.vision.dfine import DFine, dfine_nano
+
+    img = 64
+    cfg = dataclasses.replace(dfine_nano(num_labels=2),
+                              decoder_method="discrete")
+    cfg_f = dataclasses.replace(cfg, encoder_fused_attn=True)
+    variables = DFine(cfg).init({"params": jax.random.PRNGKey(0)},
+                                jnp.zeros((1, img, img, 3)), train=False)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, img, img, 3)).astype(np.float32))
+    a = DFine(cfg).apply(variables, x, train=False)
+    b = DFine(cfg_f).apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(b["logits"], np.float32),
+                               np.asarray(a["logits"], np.float32),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b["pred_boxes"], np.float32),
+                               np.asarray(a["pred_boxes"], np.float32),
+                               rtol=2e-3, atol=2e-3)

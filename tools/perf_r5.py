@@ -31,6 +31,27 @@ import jax
 from perf_ab import measure
 
 
+def _onchip_equivalence(cfg_a, cfg_b, img, batch=4):
+    """max |logit delta| between two configs sharing weights, on device
+    in the serving dtype (bf16 weights, uint8 input dequantized)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pautdx.models.vision.dfine import DFine
+    from pautdx.serve.throughput import cast_params_bf16, make_uint8_slab
+
+    model_a, model_b = DFine(cfg_a), DFine(cfg_b)
+    variables = cast_params_bf16(jax.jit(lambda k: model_a.init(
+        {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
+        train=False))(jax.random.PRNGKey(0)))
+    x = make_uint8_slab((batch, img, img, 3), seed=3).astype(
+        jnp.bfloat16) / 255.0
+    oa = jax.jit(lambda v, t: model_a.apply(v, t, train=False))(variables, x)
+    ob = jax.jit(lambda v, t: model_b.apply(v, t, train=False))(variables, x)
+    return float(jnp.max(jnp.abs(
+        oa["logits"].astype(jnp.float32) - ob["logits"].astype(jnp.float32))))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="PERF_SERVING_R5.json")
@@ -52,10 +73,12 @@ def main():
     mat = dataclasses.replace(
         base, backbone=dataclasses.replace(base.backbone,
                                            stem_u8_materialize=True))
+    fattn = dataclasses.replace(base, encoder_fused_attn=True)
 
     out = {"probe": "tools/perf_r5.py, dfine_nano discrete serving, "
                     "real v5e chip via axon relay, round 5",
-           "batch_sweep_fps": {}, "u8_materialize_fps": {}}
+           "batch_sweep_fps": {}, "u8_materialize_fps": {},
+           "fused_attn_fps": {}}
 
     results = {}
     if os.path.exists(args.out):
@@ -63,6 +86,7 @@ def main():
             results = json.load(f)
         out["batch_sweep_fps"] = results.get("batch_sweep_fps", {})
         out["u8_materialize_fps"] = results.get("u8_materialize_fps", {})
+        out["fused_attn_fps"] = results.get("fused_attn_fps", {})
 
     def flush():
         with open(args.out + ".tmp", "w") as f:
@@ -80,6 +104,23 @@ def main():
             fps = measure(mat, args.img, b, raw_uint8=True)
             out["u8_materialize_fps"][key] = round(fps, 1)
             print(f"u8_materialize {key}: {fps:.1f} fps", flush=True)
+            flush()
+        if key not in out["fused_attn_fps"]:
+            # Pallas fused AIFI attention (ops/pallas_attention): scores
+            # stay in VMEM. Interpret-mode equivalence is CPU-gated
+            # (test_pallas_ops.py); the REAL Mosaic lowering (N=400 is
+            # not lane-aligned) is verified here on the chip before any
+            # fps number is recorded.
+            if "fused_attn_onchip_max_delta" not in out:
+                delta = _onchip_equivalence(base, fattn, args.img)
+                out["fused_attn_onchip_max_delta"] = delta
+                print(f"fused_attn on-chip max |delta| = {delta:.2e}",
+                      flush=True)
+                flush()
+                assert delta < 0.05, "fused attention diverges on chip"
+            fps = measure(fattn, args.img, b)
+            out["fused_attn_fps"][key] = round(fps, 1)
+            print(f"fused_attn {key}: {fps:.1f} fps", flush=True)
             flush()
 
     flush()
