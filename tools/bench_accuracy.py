@@ -526,12 +526,16 @@ def _stack_chunks(chunks):
 
 
 def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
-                   log_every=50):
+                   log_every=50, eval_every=0, eval_fn=None):
     """Train a TemporalDFine variant on device-resident sequences.
 
     One sequence per step (the reference trains batch_size=1 sequences,
     `temporal_dfine.py:259-266`). The trunk starts from the trained
     single-frame weights; what trains follows ``trainable_mask``.
+
+    eval_every/eval_fn: optional mid-train quality probes (the round-5
+    v2 budget diagnostic, tools/v2_trajectory.py) — when set, returns
+    (model, variables, trajectory) instead of (model, variables).
     """
     from pautdx.losses.detr import dfine_criterion
     from pautdx.models.vision.temporal_dfine import (
@@ -651,6 +655,7 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
     key = jax.random.PRNGKey(2)
     rng = np.random.default_rng(3)
     t0 = time.time()
+    trajectory = []
     for i in range(steps):
         si = jnp.asarray(int(rng.integers(0, n_seqs)))
         key, k = jax.random.split(key)
@@ -659,7 +664,15 @@ def train_temporal(variant, trunk_cfg, trunk_vars, data_d, n_seqs, steps,
         if i % log_every == 0 or i == steps - 1:
             print(f"    [{variant}] step {i:4d} loss {float(loss):8.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
-    return model, {"params": params, "batch_stats": bstats}
+        if eval_every and ((i + 1) % eval_every == 0 or i == steps - 1):
+            m = eval_fn(model, {"params": params, "batch_stats": bstats})
+            trajectory.append({"step": i + 1, "map50": m})
+            print(f"    [{variant}] step {i + 1:4d} mAP@0.5 = {m:.4f}",
+                  flush=True)
+    vars_out = {"params": params, "batch_stats": bstats}
+    if eval_every:
+        return model, vars_out, trajectory
+    return model, vars_out
 
 
 def eval_temporal(model, variables, data_d, chunks):

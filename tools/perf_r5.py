@@ -32,8 +32,17 @@ from perf_ab import measure
 
 
 def _onchip_equivalence(cfg_a, cfg_b, img, batch=4):
-    """max |logit delta| between two configs sharing weights, on device
-    in the serving dtype (bf16 weights, uint8 input dequantized)."""
+    """On-chip equivalence of two serving configs sharing bf16 weights.
+
+    Per-slot max deltas are the WRONG metric here: at random init the
+    encoder proposal scores are near-tied, so a ~5e-4 bf16 attention
+    delta reshuffles the internal top-k query selection and every
+    reshuffled slot shows an O(1) logit delta while the detection SET is
+    unchanged (the same mechanism as the torch-parity top-k flips,
+    PROGRESS.md round 1). Measured: the kernel itself matches the XLA
+    einsum at 4.9e-4 on chip at the exact serving shapes
+    (B,8,400,16 bf16 — /tmp/probe_fattn.py, round 5). So compare the
+    permutation-invariant output: sorted top-300 sigmoid scores."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -46,10 +55,16 @@ def _onchip_equivalence(cfg_a, cfg_b, img, batch=4):
         train=False))(jax.random.PRNGKey(0)))
     x = make_uint8_slab((batch, img, img, 3), seed=3).astype(
         jnp.bfloat16) / 255.0
-    oa = jax.jit(lambda v, t: model_a.apply(v, t, train=False))(variables, x)
-    ob = jax.jit(lambda v, t: model_b.apply(v, t, train=False))(variables, x)
-    return float(jnp.max(jnp.abs(
-        oa["logits"].astype(jnp.float32) - ob["logits"].astype(jnp.float32))))
+
+    def top_scores(model):
+        out = jax.jit(lambda v, t: model.apply(v, t, train=False))(
+            variables, x)
+        probs = jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+        flat = probs.reshape(batch, -1)
+        return jax.lax.sort(flat, dimension=-1)[:, -300:]
+
+    sa, sb = top_scores(model_a), top_scores(model_b)
+    return float(jnp.max(jnp.abs(sa - sb)))
 
 
 def main():
@@ -110,14 +125,15 @@ def main():
             # stay in VMEM. Interpret-mode equivalence is CPU-gated
             # (test_pallas_ops.py); the REAL Mosaic lowering (N=400 is
             # not lane-aligned) is verified here on the chip before any
-            # fps number is recorded.
-            if "fused_attn_onchip_max_delta" not in out:
+            # fps number is recorded (sorted-top-score metric — see
+            # _onchip_equivalence for why per-slot deltas mislead).
+            if "fused_attn_onchip_sorted_score_delta" not in out:
                 delta = _onchip_equivalence(base, fattn, args.img)
-                out["fused_attn_onchip_max_delta"] = delta
-                print(f"fused_attn on-chip max |delta| = {delta:.2e}",
-                      flush=True)
+                out["fused_attn_onchip_sorted_score_delta"] = delta
+                print(f"fused_attn on-chip sorted-score |delta| = "
+                      f"{delta:.2e}", flush=True)
                 flush()
-                assert delta < 0.05, "fused attention diverges on chip"
+                assert delta < 0.02, "fused attention diverges on chip"
             fps = measure(fattn, args.img, b)
             out["fused_attn_fps"][key] = round(fps, 1)
             print(f"fused_attn {key}: {fps:.1f} fps", flush=True)
