@@ -44,12 +44,14 @@ def main():
     img = int(sys.argv[1]) if len(sys.argv) > 1 else 640
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     method = sys.argv[3] if len(sys.argv) > 3 else "discrete"
+    fused = len(sys.argv) > 4 and sys.argv[4] == "fused"
     import dataclasses
 
     from pautdx.models.vision.dfine import DFine, dfine_nano
 
     cfg = dataclasses.replace(dfine_nano(num_labels=2),
-                              decoder_method=method)
+                              decoder_method=method,
+                              encoder_fused_attn=fused)
     model = DFine(cfg)
     init_fn = jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="chip peak in TFLOP/s for the compute dtype "
                          "(v5e bf16: 197)")
+    ap.add_argument("--fused", action="store_true",
+                    help="encoder_fused_attn serving config (round 5)")
     ap.add_argument("--fps", type=float, default=None,
                     help="measured frames/sec/chip (bench.py); if absent "
                          "only FLOPs/frame is reported")
@@ -47,7 +49,8 @@ def main():
     from pautdx.models.vision.dfine import DFine, dfine_nano
 
     cfg = dataclasses.replace(dfine_nano(num_labels=2),
-                              decoder_method="discrete")
+                              decoder_method="discrete",
+                              encoder_fused_attn=args.fused)
     model = DFine(cfg)
     variables = jax.jit(lambda k: model.init(
         {"params": k}, jnp.zeros((1, args.img, args.img, 3), jnp.bfloat16),
