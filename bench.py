@@ -54,15 +54,21 @@ def run_bench():
     import dataclasses
 
     # batch 128: round-4 sweep on chip measured 6539 fps vs 6383 at b64
-    # and 6302 at b96 (PERF_SERVING_R4.json) — deeper batching amortizes
-    # the per-iter fixed ops (relayout copy, gather latency) a bit more
+    # and 6302 at b96 (PERF_SERVING_R4.json); the round-5 b192/b256 probe
+    # found no further gain (PERF_SERVING_R5.json)
     batch = 128
     n_steps = 8
     img = 640
     # discrete (nearest) deformable sampling: D-FINE's fast decoder mode —
-    # 4x fewer gather taps on TPU at near-identical accuracy
+    # 4x fewer gather taps on TPU at near-identical accuracy.
+    # encoder_fused_attn: Pallas fused AIFI attention (ops/
+    # pallas_attention) keeps the (B,h,N,N) score tensor VMEM-resident
+    # instead of ~327 MB/iter HBM traffic at b128 — measured 7284 vs
+    # 6548 fps on chip (+11%, PERF_SERVING_R5.json); kernel matches the
+    # XLA einsum at 4.9e-4 on the exact serving shapes.
     cfg = dataclasses.replace(dfine_nano(num_labels=2),
-                              decoder_method="discrete")
+                              decoder_method="discrete",
+                              encoder_fused_attn=True)
     model = DFine(cfg)
 
     # init + bf16 cast under jit; variables stay device-resident

@@ -250,7 +250,8 @@ def _cmd_train_bscan(args) -> None:
 
 def _build_detector_forward(detector: str, num_classes: int, scale: str,
                             size: int, checkpoint, threshold: float,
-                            flavour: str = "v8", quant: str = "none"):
+                            flavour: str = "v8", quant: str = "none",
+                            fused_attn: bool = False):
     """Jitted detector forward: images (T, H, W, 3) -> fixed-size
     detections {boxes, scores, classes, valid}. Shared by predict-bscan
     and inspect.
@@ -259,7 +260,13 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
     s8 x s8 -> s32 on the MXU with int8 inter-conv tensors in HBM
     (`pautdx.ops.qconv`). Conv-input scales are calibrated lazily on the
     FIRST request's frames (representative by construction: calibration
-    data and serving data are the same stream), then reused."""
+    data and serving data are the same stream), then reused.
+
+    ``fused_attn``: D-FINE only — Pallas fused AIFI attention
+    (`pautdx.ops.pallas_attention`; +11% serving fps on TPU,
+    PERF_SERVING_R5.json). Param-free graph change, so any checkpoint
+    loads; off by default because the interpret-mode fallback on
+    non-TPU hosts is slower than the XLA einsum."""
     import jax
     import jax.numpy as jnp
 
@@ -300,6 +307,10 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
             cfg = _dc.replace(
                 dfine_nano(num_labels=meta.get("num_classes", num_classes)),
                 encoder_act_approx=False)
+        if fused_attn:
+            import dataclasses as _dcf
+
+            cfg = _dcf.replace(cfg, encoder_fused_attn=True)
         model = DFine(cfg)
     if state is not None:
         variables = {"params": state["params"],
@@ -369,7 +380,9 @@ def _cmd_predict_bscan(args) -> None:
                                       args.scale, args.size,
                                       args.checkpoint, args.threshold,
                                       flavour=args.flavour,
-                                      quant=getattr(args, "quant", "none"))
+                                      quant=getattr(args, "quant", "none"),
+                                      fused_attn=getattr(args, "fused_attn",
+                                                         False))
     results = {}
     for entry in sorted(os.listdir(args.data)):
         path = os.path.join(args.data, entry)
@@ -774,6 +787,9 @@ def main(argv=None) -> None:
     pb.add_argument("--quant", choices=("none", "int8"), default="none",
                     help="int8: activation-int8 serving (s8xs8->s32 convs, "
                          "scales self-calibrated on the first request)")
+    pb.add_argument("--fused-attn", action="store_true",
+                    help="D-FINE: Pallas fused AIFI attention (+11% fps "
+                         "on TPU; param-free, any checkpoint loads)")
     pb.add_argument("--overlays", action="store_true")
     pb.set_defaults(fn=_cmd_predict_bscan)
 

@@ -29,6 +29,31 @@ def test_predict_bscan_cli(raw_dir, tmp_path, detector):
             assert set(d) == {"box", "label", "score"}
 
 
+def test_predict_bscan_cli_fused_attn(raw_dir, tmp_path):
+    """--fused-attn: Pallas fused AIFI attention serving path through
+    the CLI (interpret-mode kernel on CPU). Detections must match the
+    default einsum path exactly on CPU f32 — the graph change is
+    param-free and numerically equivalent (test_pallas_ops gates the
+    kernel; this gates the CLI wiring)."""
+    out_f = str(tmp_path / "det_fused")
+    cli.main(["predict-bscan", "--data", raw_dir, "--out", out_f,
+              "--detector", "dfine", "--size", "64",
+              "--threshold", "0.0", "--fused-attn"])
+    out_b = str(tmp_path / "det_base")
+    cli.main(["predict-bscan", "--data", raw_dir, "--out", out_b,
+              "--detector", "dfine", "--size", "64",
+              "--threshold", "0.0"])
+    dets_f = json.load(open(os.path.join(out_f, "detections.json")))
+    dets_b = json.load(open(os.path.join(out_b, "detections.json")))
+    assert len(dets_f["v"]) == 12
+    for ff, fb in zip(dets_f["v"], dets_b["v"]):
+        assert len(ff) == len(fb)
+        for df, db in zip(ff, fb):
+            assert df["label"] == db["label"]
+            np.testing.assert_allclose(df["score"], db["score"], atol=1e-5)
+            np.testing.assert_allclose(df["box"], db["box"], atol=1e-3)
+
+
 def test_predict_bscan_cli_int8(raw_dir, tmp_path):
     """--quant int8: activation-int8 serving path through the CLI
     (scales self-calibrated on the first request's frames)."""
