@@ -61,6 +61,18 @@ class HGNetConfig:
     # layout (192 channels, vs the 3-channel image), and the matmul
     # reads plain bf16.
     stem_u8_materialize: bool = False
+    # s2d stems only: lowering variant for the patch rearrangement.
+    # "transpose" (default): reshape/transpose/reshape — XLA emits the
+    # input relayout + a 6D patch copy (the top two ops of the round-5
+    # 640px serving profile). "slices": 64 strided slices
+    # x[:, ki::p, kj::p, :] concatenated on channels — a different XLA
+    # lowering of the same math (params interchangeable; the flatten
+    # order (ki, kj, c) matches). Measured per-config on chip.
+    # (A VMEM-resident Pallas patchify was tried in round 5 and is NOT
+    # expressible: the rearrangement crosses the sublane/lane split and
+    # Mosaic rejects it — "infer-vector-layout: unsupported shape
+    # cast"; that crossing is exactly what XLA's HBM copy implements.)
+    stem_s2d_impl: str = "transpose"
     # first stage to run (patchify8 presets set 2: the stem already
     # provides that stage's input stride and channel count)
     start_stage: int = 0
@@ -238,6 +250,7 @@ class _S2DProj(nn.Module):
     patch: int
     features: int
     u8_materialize: bool = False
+    impl: str = "transpose"
 
     @nn.compact
     def __call__(self, x):
@@ -252,9 +265,19 @@ class _S2DProj(nn.Module):
                 f"conv stem (stem_s2d=False)")
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (p, p, C, f))
-        x = x.reshape(B, H // p, p, W // p, p, C)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
-            B, H // p, W // p, p * p * C)
+        if self.impl == "slices":
+            # 64 strided views concatenated on channels, (ki, kj, c)
+            # order — same math/params as the transpose lowering, but
+            # XLA lowers it as slice fusions instead of the 6D patch
+            # copy (which of the two wins is config- and batch-
+            # dependent; measured on chip, PERF_SERVING_R5.json)
+            x = jnp.concatenate(
+                [x[:, ki::p, kj::p, :] for ki in range(p)
+                 for kj in range(p)], axis=-1)
+        else:
+            x = x.reshape(B, H // p, p, W // p, p, C)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, H // p, W // p, p * p * C)
         if jnp.issubdtype(x.dtype, jnp.integer):
             # raw-uint8 serving (fold_uint8_stem): the patch reshape/
             # transpose above moved 1-byte elements (4x less HBM traffic
@@ -288,7 +311,8 @@ class PatchifyStem(nn.Module):
         p = self.patch
         if self.cfg.stem_s2d:
             x = _S2DProj(patch=p, features=f, name="proj",
-                         u8_materialize=self.cfg.stem_u8_materialize)(x)
+                         u8_materialize=self.cfg.stem_u8_materialize,
+                         impl=self.cfg.stem_s2d_impl)(x)
         else:
             x = nn.Conv(f, (p, p), strides=(p, p),
                         use_bias=False, name="proj")(x)

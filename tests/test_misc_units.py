@@ -155,3 +155,27 @@ def test_adaptive_avg_pool1d_matches_torch():
         ref = torch.nn.AdaptiveAvgPool1d(128)(
             torch.tensor(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
         assert np.abs(ours - ref).max() < 1e-5, L
+
+
+def test_patchify_s2d_slices_impl_matches_transpose():
+    """The "slices" s2d lowering (64 strided views concatenated in
+    (ki, kj, c) order) is bit-identical to the default transpose
+    lowering with the SAME params — the two are alternative XLA
+    lowerings of one patchify, picked per-config by on-chip A/B."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pautdx.models.vision.hgnet import HGNetConfig, HGNetV2
+
+    cfg = HGNetConfig(stem="patchify8", start_stage=2, out_indices=(2, 3),
+                      stem_s2d=True)
+    m_t = HGNetV2(cfg)
+    m_s = HGNetV2(dataclasses.replace(cfg, stem_s2d_impl="slices"))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    v = m_t.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    for a, b in zip(m_t.apply(v, x, train=False),
+                    m_s.apply(v, x, train=False)):
+        assert jnp.abs(a - b).max() == 0.0

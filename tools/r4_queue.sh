@@ -4,8 +4,12 @@
 # so each completed section lands in the artifact even if the relay
 # wedges mid-queue. parity_small runs at 6000 steps (the VERDICT item-7
 # diagnostic); nano + temporal at the standard 3000.
+#
+# HISTORICAL (superseded by tools/r5_queue.sh, which adds per-section
+# timeouts and rc aggregation — ADVICE r4 items 1+3; the cd guard below
+# was backfilled for consistency).
 set -uo pipefail
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
 LOG=/tmp/r4_queue
 mkdir -p "$LOG"
 
