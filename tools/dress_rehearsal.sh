@@ -24,21 +24,27 @@ print("volumes written")
 EOF
 
 t0=$(date +%s)
-echo "-- train-bscan (YOLO v8-n, 320px, 6 epochs) --"
+# 24 epochs at lr 2e-3: the first rehearsal (6 epochs, default 1e-3)
+# trained to completion but left max detection scores ~1e-4 — on these
+# sparse volumes (~25% of frames carry a defect) the confidence head
+# needs the longer schedule (a CPU probe shows scores still climbing
+# at 15 epochs). Both are stock CLI flags.
+echo "-- train-bscan (YOLO v8-n, 320px, 24 epochs) --"
 python -m pautdx.cli train-bscan --data "$RAW" --out /tmp/dress_yolo \
-    --detector yolo --size 320 --epochs 6 --batch-size 8 --augment
+    --detector yolo --size 320 --epochs 24 --batch-size 8 --lr 2e-3 \
+    --augment
 t1=$(date +%s); echo "train wall-clock: $((t1 - t0))s"
 
 echo "-- predict-bscan (overlays) --"
 python -m pautdx.cli predict-bscan --data "$RAW" --out /tmp/dress_pred \
     --detector yolo --checkpoint /tmp/dress_yolo --size 320 \
-    --num-classes 1 --overlays
+    --num-classes 1 --threshold 0.15 --overlays
 t2=$(date +%s); echo "predict wall-clock: $((t2 - t1))s"
 
 echo "-- inspect (HTML QA page) --"
 python -m pautdx.cli inspect --data "$RAW" --mode bscan \
     --out "$RUN/inspector.html" --checkpoint /tmp/dress_yolo \
-    --detector yolo --size 320 --num-classes 1
+    --detector yolo --size 320 --num-classes 1 --threshold 0.15
 t3=$(date +%s); echo "inspect wall-clock: $((t3 - t2))s"
 
 cp /tmp/dress_yolo/history.json "$RUN/train_history.json" 2>/dev/null || true
