@@ -47,8 +47,8 @@ def run_bench():
 
     from pautdx.models.vision.dfine import DFine, dfine_nano
     from pautdx.serve.throughput import (
-        cast_params_bf16, make_streaming_forward, make_uint8_slab,
-        measure_fps,
+        cast_params_bf16, fold_uint8_stem, make_streaming_forward,
+        make_uint8_slab, measure_fps,
     )
 
     import dataclasses
@@ -76,16 +76,21 @@ def run_bench():
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
         train=False))
     variables = cast_params_bf16(init_fn(jax.random.PRNGKey(0)))
+    # raw-uint8 stem fold: the u8 frames feed the s2d patchify directly
+    # (1/255 pre-folded into the stem kernel) — a round-4 NEGATIVE that
+    # flipped to +2.4% once the fused attention changed the critical
+    # path (PERF_SERVING_R5.json stem_lowering_ab_b128_fused: 7436 vs
+    # 7265 fps). Quality at the exact combined graph:
+    # jax_map50_serving_fused_raw_u8 in BENCH_ACCURACY.json.
+    variables = fold_uint8_stem(variables)
 
     def apply_fn(images):
         out = model.apply(variables, images, train=False)
         return out["logits"], out["pred_boxes"]
 
-    stream = make_streaming_forward(apply_fn)
+    stream = make_streaming_forward(apply_fn, raw_uint8=True)
     # uint8 wire format: B-scan frames ship as 8-bit images (the
-    # reference's PNG pipeline); dequantized to bf16 on device. Quality
-    # at this exact serving mode is measured by tools/bench_accuracy.py
-    # (jax_map50_serving_uint8_input).
+    # reference's PNG pipeline), consumed natively by the stem.
     slab = make_uint8_slab((n_steps, batch, img, img, 3))
     fps = measure_fps(stream, slab, n_calls=3)
 

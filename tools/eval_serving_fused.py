@@ -76,10 +76,19 @@ def main():
                     serving_cfg=serving)
     print(f"serving (discrete + fused AIFI attention) mAP@0.5 = {m:.4f}",
           flush=True)
+    # the round-5 bench config: raw-uint8 stem fold + fused attention
+    # (raw-u8 flipped from a round-4 negative to +2.4% once the fused
+    # attention changed the critical path — PERF_SERVING_R5.json
+    # stem_lowering_ab_b128_fused)
+    m_raw = ba.eval_jax(model, ba.to_bf16(variables), val_data,
+                        serving_cfg=serving, uint8_raw=True)
+    print(f"serving (raw-uint8 + fused AIFI attention) mAP@0.5 = "
+          f"{m_raw:.4f}", flush=True)
 
     with open(args.out) as f:
         results = json.load(f)
     results["nano"]["jax_map50_serving_fused_attn"] = m
+    results["nano"]["jax_map50_serving_fused_raw_u8"] = m_raw
     with open(args.out + ".tmp", "w") as f:
         json.dump(results, f, indent=1)
     os.replace(args.out + ".tmp", args.out)
