@@ -761,6 +761,11 @@ def measure_temporal_serving_fps(trunk_cfg, img=640):
         measure_fps,
     )
 
+    # discrete sampling, EINSUM attention: the round-5 fused-attention
+    # re-measure was a wash at this path's effective batch of 50 frames
+    # (stream 5006 fused vs 5078 einsum — the VMEM-resident-scores win
+    # needs the b128 single-frame batch to pay;
+    # serving_fps_640_stream_fused_attn in the artifact records it)
     serving = dataclasses.replace(trunk_cfg, decoder_method="discrete")
     model = TemporalDFine(serving, variant="v3",
                           num_temporal_labels=NUM_LABELS + 1)

@@ -44,7 +44,9 @@ def main():
     img = int(sys.argv[1]) if len(sys.argv) > 1 else 640
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     method = sys.argv[3] if len(sys.argv) > 3 else "discrete"
-    fused = len(sys.argv) > 4 and sys.argv[4] == "fused"
+    modes = sys.argv[4].split("+") if len(sys.argv) > 4 else []
+    fused = "fused" in modes
+    raw_u8 = "rawu8" in modes
     import dataclasses
 
     from pautdx.models.vision.dfine import DFine, dfine_nano
@@ -60,12 +62,27 @@ def main():
     variables = jax.jit(lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, t))(variables)
-    images = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, img, img, 3)),
-        dtype=jnp.bfloat16)
+    if raw_u8:
+        from pautdx.serve.throughput import fold_uint8_stem
+
+        variables = fold_uint8_stem(variables)
+        images = jnp.asarray(np.random.default_rng(0).integers(
+            0, 256, size=(batch, img, img, 3)), dtype=jnp.uint8)
+    else:
+        images = jnp.asarray(
+            np.random.default_rng(0).normal(size=(batch, img, img, 3)),
+            dtype=jnp.bfloat16)
+
+    def chain_in(im, c):
+        # carry-dependency injection that preserves the input dtype
+        # (raw-u8 must reach the model as integers for the folded stem)
+        if jnp.issubdtype(im.dtype, jnp.integer):
+            return im ^ (c * 0).astype(im.dtype)
+        return im + c * 0
 
     f = jax.jit(lambda v, im, c: model.apply(
-        v, im + c * 0, train=False)["logits"].astype(jnp.float32).mean())
+        v, chain_in(im, c), train=False)["logits"].astype(
+            jnp.float32).mean())
     c = jnp.zeros((), jnp.bfloat16)
     c = f(variables, images, c)
     float(c)
