@@ -73,6 +73,17 @@ class HGNetConfig:
     # Mosaic rejects it — "infer-vector-layout: unsupported shape
     # cast"; that crossing is exactly what XLA's HBM copy implements.)
     stem_s2d_impl: str = "transpose"
+    # s2d stems only, serving wire-format option: the input arrives
+    # ALREADY patchified — (B, H/p, W/p, p*p*C) instead of (B, H, W, C)
+    # — and the stem skips the rearrangement entirely. The patchify is a
+    # pure per-frame permutation the serving host performs on the uint8
+    # wire bytes (`pautdx.serve.throughput.prepatchify_uint8`), so the
+    # device-side patch copy — the top two ops of the round-5 640px
+    # serving profile, both at their HBM relayout floor — never runs.
+    # Same params, bit-identical outputs (the (ki, kj, c) flatten order
+    # matches _S2DProj's transpose lowering); gated by
+    # tests/test_serve.py::test_prepatchified_stem_exact.
+    stem_pre_patchified: bool = False
     # first stage to run (patchify8 presets set 2: the stem already
     # provides that stage's input stride and channel count)
     start_stage: int = 0
@@ -87,6 +98,11 @@ class HGNetConfig:
                 f"out_indices {self.out_indices} select stages below "
                 f"start_stage={self.start_stage}, which are skipped by the "
                 f"'{self.stem}' stem and would yield no feature map")
+        if self.stem_pre_patchified and not self.stem_s2d:
+            raise ValueError(
+                "stem_pre_patchified is a wire-format option of the "
+                "space-to-depth stem (stem_s2d=True); the nn.Conv stem "
+                "consumes images, not patch slabs")
         if self.start_stage > 0 and self.stem != "patchify8":
             # only the patchify8 stem emits stage_in_channels[start_stage]
             # at the right stride; other stems feed stage 0's channels and
@@ -251,12 +267,22 @@ class _S2DProj(nn.Module):
     features: int
     u8_materialize: bool = False
     impl: str = "transpose"
+    pre_patchified: bool = False
 
     @nn.compact
     def __call__(self, x):
         p, f = self.patch, self.features
         B, H, W, C = x.shape
-        if H % p or W % p:
+        if self.pre_patchified:
+            # wire format: the host already ran prepatchify_uint8 — the
+            # last axis IS the (ki, kj, c)-flattened patch; no device-side
+            # rearrangement (see HGNetConfig.stem_pre_patchified)
+            if C % (p * p):
+                raise ValueError(
+                    f"pre-patchified stem input's last axis must be "
+                    f"patch*patch*channels (patch={p}), got {C}")
+            C = C // (p * p)
+        elif H % p or W % p:
             # the nn.Conv path would silently SAME-pad odd sizes; here the
             # reshape below would fail with an opaque shape error instead
             raise ValueError(
@@ -265,7 +291,9 @@ class _S2DProj(nn.Module):
                 f"conv stem (stem_s2d=False)")
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (p, p, C, f))
-        if self.impl == "slices":
+        if self.pre_patchified:
+            pass                 # x already (B, H/p, W/p, p*p*C)
+        elif self.impl == "slices":
             # 64 strided views concatenated on channels, (ki, kj, c)
             # order — same math/params as the transpose lowering, but
             # XLA lowers it as slice fusions instead of the 6D patch
@@ -312,7 +340,8 @@ class PatchifyStem(nn.Module):
         if self.cfg.stem_s2d:
             x = _S2DProj(patch=p, features=f, name="proj",
                          u8_materialize=self.cfg.stem_u8_materialize,
-                         impl=self.cfg.stem_s2d_impl)(x)
+                         impl=self.cfg.stem_s2d_impl,
+                         pre_patchified=self.cfg.stem_pre_patchified)(x)
         else:
             x = nn.Conv(f, (p, p), strides=(p, p),
                         use_bias=False, name="proj")(x)

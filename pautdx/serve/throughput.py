@@ -112,6 +112,38 @@ def make_uint8_slab(shape: Tuple[int, ...], seed: int = 0) -> jnp.ndarray:
     return slab
 
 
+def prepatchify_uint8(frames, patch: int):
+    """Host-side space-to-depth on the uint8 wire bytes.
+
+    (..., H, W, C) -> (..., H/p, W/p, p*p*C), flattened in the
+    ``(ki, kj, c)`` order `_S2DProj`'s transpose lowering produces — a
+    model with ``stem_pre_patchified=True`` consumes the result with the
+    SAME params and bit-identical outputs, while the device never runs
+    the patch rearrangement (the top two HBM-copy ops of the 640px
+    serving profile). A pure permutation of 1-byte elements: the host
+    pays one memcpy-speed pass per frame during wire assembly, where the
+    frame bytes are already being touched (the reference's pipeline
+    decodes PNGs host-side at the same spot,
+    `/root/reference/BscanBased/predict_frames.py`-style).
+
+    Works on numpy or jax arrays; leading axes (steps, batch) pass
+    through.
+    """
+    import numpy as np
+
+    x = np.asarray(frames)
+    *lead, H, W, C = x.shape
+    if H % patch or W % patch:
+        raise ValueError(f"H/W must be divisible by patch={patch}, "
+                         f"got {H}x{W}")
+    x = x.reshape(*lead, H // patch, patch, W // patch, patch, C)
+    nd = x.ndim
+    # (..., Hp, ki, Wp, kj, c) -> (..., Hp, Wp, ki, kj, c)
+    x = x.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+    return np.ascontiguousarray(x).reshape(
+        *lead, H // patch, W // patch, patch * patch * C)
+
+
 def cast_params_bf16(variables):
     """Cast every f32 leaf of a variables tree to bf16, on device
     (the serving weight format; non-f32 leaves pass through)."""

@@ -138,6 +138,59 @@ def test_signal_endpoint_overflow_buckets():
         ep.predict(rng.normal(size=(1, 50 * 8 + 1, 64)).astype(np.float32))
 
 
+def test_prepatchified_stem_exact():
+    """Pre-patchified wire format (HGNetConfig.stem_pre_patchified): the
+    host runs the space-to-depth permutation on the uint8 wire bytes and
+    the device stem skips its rearrangement — same params, bit-identical
+    detections, including under the raw-uint8 stem fold (the promoted
+    bench graph). Kills the top two HBM-copy ops of the 640px serving
+    profile (PERF_SERVING_R5.json)."""
+    import dataclasses
+
+    from pautdx.models.vision.dfine import DFine, dfine_nano
+    from pautdx.serve.throughput import fold_uint8_stem, prepatchify_uint8
+
+    cfg = dfine_nano(num_labels=2)
+    p = 8                                    # stride-8 patchify stem
+    assert cfg.backbone.stem_s2d and cfg.backbone.stem == "patchify8"
+    cfg_pp = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, stem_pre_patchified=True))
+
+    img = np.random.default_rng(0).integers(
+        0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
+    model = DFine(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img, jnp.float32) / 255.0,
+                           train=False)
+
+    # f32 path: identical params, host-patchified input
+    x = jnp.asarray(img, jnp.float32) / 255.0
+    base = model.apply(variables, x, train=False)
+    xp = jnp.asarray(prepatchify_uint8(img, p), jnp.float32) / 255.0
+    pp = DFine(cfg_pp).apply(variables, xp, train=False)
+    np.testing.assert_array_equal(np.asarray(base["logits"]),
+                                  np.asarray(pp["logits"]))
+    np.testing.assert_array_equal(np.asarray(base["pred_boxes"]),
+                                  np.asarray(pp["pred_boxes"]))
+
+    # raw-uint8 serving fold: u8 wire bytes in, still bit-identical
+    folded = fold_uint8_stem(variables)
+    base_u8 = model.apply(folded, jnp.asarray(img), train=False)
+    pp_u8 = DFine(cfg_pp).apply(
+        folded, jnp.asarray(prepatchify_uint8(img, p)), train=False)
+    np.testing.assert_array_equal(np.asarray(base_u8["logits"]),
+                                  np.asarray(pp_u8["logits"]))
+
+    # config validation: the conv stem cannot take a patch slab
+    import pytest
+
+    from pautdx.models.vision.hgnet import HGNetConfig
+
+    with pytest.raises(ValueError, match="wire-format"):
+        HGNetConfig(stem="patchify", stem_s2d=False,
+                    stem_pre_patchified=True)
+
+
 def test_int8_weight_quantization_roundtrip_and_outputs():
     """Weight-only int8 (SURVEY §7 stage 8): per-channel roundtrip error
     bounded by half a quantization step, and the quantized model's
