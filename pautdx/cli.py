@@ -251,7 +251,8 @@ def _cmd_train_bscan(args) -> None:
 def _build_detector_forward(detector: str, num_classes: int, scale: str,
                             size: int, checkpoint, threshold: float,
                             flavour: str = "v8", quant: str = "none",
-                            fused_attn: bool = False):
+                            fused_attn: bool = False,
+                            prepatch: bool = False):
     """Jitted detector forward: images (T, H, W, 3) -> fixed-size
     detections {boxes, scores, classes, valid}. Shared by predict-bscan
     and inspect.
@@ -266,7 +267,13 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
     (`pautdx.ops.pallas_attention`; +11% serving fps on TPU,
     PERF_SERVING_R5.json). Param-free graph change, so any checkpoint
     loads; off by default because the interpret-mode fallback on
-    non-TPU hosts is slower than the XLA einsum."""
+    non-TPU hosts is slower than the XLA einsum.
+
+    ``prepatch``: D-FINE s2d stems only — host-side space-to-depth wire
+    format (`serve.throughput.prepatchify_uint8`): frames are permuted
+    on the host and the device stem skips its patch-rearrangement HBM
+    copies (+12.7% serving fps on TPU, PERF_PREPATCH.json).
+    Bit-identical detections, so any checkpoint loads."""
     import jax
     import jax.numpy as jnp
 
@@ -311,13 +318,28 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
             import dataclasses as _dcf
 
             cfg = _dcf.replace(cfg, encoder_fused_attn=True)
+        if prepatch:
+            import dataclasses as _dcp
+
+            if not cfg.backbone.stem_s2d:
+                raise SystemExit(
+                    "--prepatch requires a space-to-depth stem (this "
+                    "checkpoint's config has stem_s2d=False)")
+            cfg = _dcp.replace(cfg, backbone=_dcp.replace(
+                cfg.backbone, stem_pre_patchified=True))
         model = DFine(cfg)
+    if prepatch and detector != "dfine":
+        raise SystemExit("--prepatch is a D-FINE wire-format option")
+    patch = 8 if (detector == "dfine" and cfg.backbone.stem == "patchify8") \
+        else 4
     if state is not None:
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
     else:
+        init_shape = ((1, size // patch, size // patch, patch * patch * 3)
+                      if prepatch else (1, size, size, 3))
         init = jax.jit(lambda k: model.init(
-            {"params": k}, jnp.zeros((1, size, size, 3)), train=False))
+            {"params": k}, jnp.zeros(init_shape), train=False))
         variables = init(jax.random.PRNGKey(0))
 
     if detector == "yolo":
@@ -350,6 +372,16 @@ def _build_detector_forward(detector: str, num_classes: int, scale: str,
             return cell["fwd"](images)
     else:
         forward = jax.jit(lambda images: _head(variables, images))
+    if prepatch:
+        from pautdx.serve.throughput import prepatchify_uint8
+
+        inner = forward
+
+        def forward(images):
+            import numpy as _np
+
+            return inner(jnp.asarray(
+                prepatchify_uint8(_np.asarray(images), patch)))
     return forward
 
 
@@ -382,7 +414,9 @@ def _cmd_predict_bscan(args) -> None:
                                       flavour=args.flavour,
                                       quant=getattr(args, "quant", "none"),
                                       fused_attn=getattr(args, "fused_attn",
-                                                         False))
+                                                         False),
+                                      prepatch=getattr(args, "prepatch",
+                                                       False))
     results = {}
     for entry in sorted(os.listdir(args.data)):
         path = os.path.join(args.data, entry)
@@ -790,6 +824,9 @@ def main(argv=None) -> None:
     pb.add_argument("--fused-attn", action="store_true",
                     help="D-FINE: Pallas fused AIFI attention (+11% fps "
                          "on TPU; param-free, any checkpoint loads)")
+    pb.add_argument("--prepatch", action="store_true",
+                    help="D-FINE: host-side space-to-depth wire format "
+                         "(+12.7% fps on TPU; bit-identical detections)")
     pb.add_argument("--overlays", action="store_true")
     pb.set_defaults(fn=_cmd_predict_bscan)
 

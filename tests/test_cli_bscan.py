@@ -54,6 +54,31 @@ def test_predict_bscan_cli_fused_attn(raw_dir, tmp_path):
             np.testing.assert_allclose(df["box"], db["box"], atol=1e-3)
 
 
+def test_predict_bscan_cli_prepatch(raw_dir, tmp_path):
+    """--prepatch: host-side space-to-depth wire format through the CLI.
+    Detections must match the default path EXACTLY — the stem consumes
+    the host-permuted patches with the same params
+    (test_serve.py::test_prepatchified_stem_exact gates the model path;
+    this gates the CLI wiring incl. the host-side permutation hook)."""
+    out_p = str(tmp_path / "det_prepatch")
+    cli.main(["predict-bscan", "--data", raw_dir, "--out", out_p,
+              "--detector", "dfine", "--size", "64",
+              "--threshold", "0.0", "--prepatch"])
+    out_b = str(tmp_path / "det_base2")
+    cli.main(["predict-bscan", "--data", raw_dir, "--out", out_b,
+              "--detector", "dfine", "--size", "64",
+              "--threshold", "0.0"])
+    dets_p = json.load(open(os.path.join(out_p, "detections.json")))
+    dets_b = json.load(open(os.path.join(out_b, "detections.json")))
+    assert len(dets_p["v"]) == 12
+    for fp, fb in zip(dets_p["v"], dets_b["v"]):
+        assert len(fp) == len(fb)
+        for dp, db in zip(fp, fb):
+            assert dp["label"] == db["label"]
+            np.testing.assert_allclose(dp["score"], db["score"], atol=0)
+            np.testing.assert_allclose(dp["box"], db["box"], atol=0)
+
+
 def test_predict_bscan_cli_int8(raw_dir, tmp_path):
     """--quant int8: activation-int8 serving path through the CLI
     (scales self-calibrated on the first request's frames)."""
