@@ -47,6 +47,10 @@ def main():
     modes = sys.argv[4].split("+") if len(sys.argv) > 4 else []
     fused = "fused" in modes
     raw_u8 = "rawu8" in modes
+    # "prepatch": host-side space-to-depth wire format — the input ships
+    # already patchified, (B, img/8, img/8, 192); the stem's device-side
+    # rearrangement (the round-5 top two ops) never runs (PERF_PREPATCH)
+    prepatch = "prepatch" in modes
     import dataclasses
 
     from pautdx.models.vision.dfine import DFine, dfine_nano
@@ -54,23 +58,30 @@ def main():
     cfg = dataclasses.replace(dfine_nano(num_labels=2),
                               decoder_method=method,
                               encoder_fused_attn=fused)
+    if prepatch:
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, stem_pre_patchified=True))
     model = DFine(cfg)
-    init_fn = jax.jit(lambda k: model.init(
+    init_cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, stem_pre_patchified=False))
+    init_fn = jax.jit(lambda k: DFine(init_cfg).init(
         {"params": k}, jnp.zeros((1, img, img, 3), jnp.bfloat16),
         train=False))
     variables = init_fn(jax.random.PRNGKey(0))
     variables = jax.jit(lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, t))(variables)
+    in_shape = ((batch, img // 8, img // 8, 192) if prepatch
+                else (batch, img, img, 3))
     if raw_u8:
         from pautdx.serve.throughput import fold_uint8_stem
 
         variables = fold_uint8_stem(variables)
         images = jnp.asarray(np.random.default_rng(0).integers(
-            0, 256, size=(batch, img, img, 3)), dtype=jnp.uint8)
+            0, 256, size=in_shape), dtype=jnp.uint8)
     else:
         images = jnp.asarray(
-            np.random.default_rng(0).normal(size=(batch, img, img, 3)),
+            np.random.default_rng(0).normal(size=in_shape),
             dtype=jnp.bfloat16)
 
     def chain_in(im, c):
